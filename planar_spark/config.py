@@ -1,0 +1,54 @@
+"""Engine configuration.
+
+The reference configures its runs through a gflags singleton
+(core/common/config.h:60-120 — parallelism, memory_size, iter, ...).
+Ours is a plain dataclass passed to kernels; Spark-level knobs
+(shuffle partitions, AQE) live on the SparkSession (session.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # --- PageRank (reference defaults: core/common/config.h:96-99) ---
+    damping: float = 0.85
+    max_iterations: int = 20
+    tolerance: float = 1.0e-9  # L1 early-stop; <=0 disables early stop
+
+    # --- superstep engine ---
+    # Reliable per-superstep checkpointing: every superstep's state is
+    # written to (and re-read from) the state store, truncating lineage
+    # (the Spark analogue of the reference writing mutated blocks back
+    # as .bin.new each round, nvme/scheduler/scheduler.h:435-442).
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1  # checkpoint every k supersteps (>=1)
+
+    # --- partitioning / skew ---
+    # Number of hash partitions for edges/state co-partitioning. Should
+    # track cluster cores; on a real cluster this is O(2-4x total cores).
+    num_partitions: int = field(
+        default_factory=lambda: int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    # Degree threshold above which a vertex counts as a "hub": its
+    # messages are pre-aggregated per salt bucket before the final
+    # per-vertex aggregation (two-stage agg; reference analogue is the
+    # strided ParallelVertexDoStep skew path, core/apis/planar_app_base.h:208-231).
+    hub_degree_threshold: int = 100_000
+    salt_buckets: int = 16
+    # Broadcast the frontier/state side of a join when its row count is
+    # below this (reference analogue: whole vertex-state array shared in
+    # memory, core/update_stores/bsp_update_store.h:35-36).
+    broadcast_max_rows: int = 2_000_000
+
+    # --- LPA ---
+    lpa_max_iterations: int = 10
+
+    def partitions_for(self, spark) -> int:
+        """Effective partition count: config value or session default."""
+        if self.num_partitions > 0:
+            return self.num_partitions
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

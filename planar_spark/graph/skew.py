@@ -1,0 +1,87 @@
+"""Explicit skew handling: degree-based salting + broadcast frontiers.
+
+Web graphs are power-law: hub vertices (site roots, popular pages) have
+out-degrees 10^6+ while the median is ~10. Hash-partitioning edges by
+``src`` puts ALL of a hub's edges in one partition — one straggler task
+per hub (the reference hits the same wall and adds a strided task
+assignment, core/apis/planar_app_base.h:208-231).
+
+Two explicit mechanisms, both pure DataFrame ops (AQE skew-join is ON as
+a backstop, but the north rule wants this handled explicitly):
+
+1. ``salted_gather_join``: edges of hub sources get a salt derived from
+   ``dst``; the (tiny) hub slice of the state is replicated across all
+   salt values; the join key becomes (src, salt) so a hub's edges spread
+   over ``salt_buckets`` tasks. Non-hub traffic keeps salt=0 and is
+   untouched.
+2. ``maybe_broadcast``: frontier/state DataFrames below a row threshold
+   are broadcast, removing the shuffle entirely (the analogue of the
+   reference sharing the whole vertex-state array in memory,
+   core/update_stores/bsp_update_store.h:35-36).
+
+Note on aggregation skew: ``groupBy(dst).agg(sum)`` needs NO salting in
+Spark — partial aggregation (map-side combine) already reduces each
+partition to one row per key before the shuffle, which is exactly the
+two-stage salted-agg pattern done natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from planar_spark.config import EngineConfig
+
+
+def hub_vertices(degrees: DataFrame, threshold: int) -> DataFrame:
+    """(vid) of vertices whose out-degree exceeds the hub threshold.
+
+    This set is tiny by construction (power-law tail) — always
+    broadcastable.
+    """
+    return degrees.where(F.col("out_deg") > threshold).select("vid")
+
+
+def salted_gather_join(
+    edges: DataFrame,
+    state: DataFrame,
+    config: EngineConfig,
+    hubs: DataFrame | None = None,
+) -> DataFrame:
+    """edges(src, dst, ...) ⋈ state(vid, ...) on src==vid, hub-salted.
+
+    Returns the joined DataFrame with edge columns + state columns
+    (state's ``vid`` column is dropped; join key is ``src``).
+    """
+    k = max(1, config.salt_buckets)
+    if hubs is None:
+        return edges.join(state, edges["src"] == state["vid"]).drop("vid")
+
+    hub_flag = hubs.select(F.col("vid").alias("src"), F.lit(True).alias("_is_hub"))
+    e = (
+        edges.join(F.broadcast(hub_flag), "src", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hub").isNotNull(),
+                F.pmod(F.xxhash64(F.col("dst")), F.lit(k)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_is_hub")
+    )
+    # Replicate only the (tiny) hub slice of the state across all salts.
+    s_hub = state.join(F.broadcast(hubs), "vid", "left_semi").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).cast("int")
+    )
+    s_rest = state.join(F.broadcast(hubs), "vid", "left_anti").withColumn(
+        "_salt", F.lit(0).cast("int")
+    )
+    s = s_hub.unionByName(s_rest)
+    joined = e.join(s, (e["src"] == s["vid"]) & (e["_salt"] == s["_salt"]))
+    return joined.drop("vid", "_salt")
+
+
+def maybe_broadcast(df: DataFrame, config: EngineConfig, row_count: int | None):
+    """Broadcast-hint df when its known row count is small enough."""
+    if row_count is not None and row_count <= config.broadcast_max_rows:
+        return F.broadcast(df)
+    return df

@@ -1,0 +1,179 @@
+"""The superstep engine: BSP driver loop + checkpoint/resume.
+
+This is the DataFrame re-expression of the reference's execution model:
+the app's ``Compute()`` is a plain loop issuing Map* calls that each run
+one bulk-synchronous superstep over all blocks and end with
+``update_store_->Sync()`` (nvme/apis/block_api.h:150-169,
+nvme/scheduler/scheduler.h:190-246, nvme/update_stores/
+nvme_update_store.h:138-145). Here:
+
+- one superstep  = ``step_fn(state, step) -> (new_state, metrics)`` —
+  a pure DataFrame expression (join + keyed agg), executed when the
+  engine materializes the new state;
+- ``Sync()``     = replacing the state DataFrame reference — state is
+  immutable, so BSP read/write double-buffering is free;
+- block write-back (.bin.new, scheduler.h:435-442) = per-superstep
+  parquet checkpoint of the state + a meta JSON carrying run lineage
+  and convergence metrics — which doubles as lineage truncation
+  (without it, step k's plan is O(k) deep and the job dies by step ~30)
+  and as the resume point demanded by the north rule;
+- ``IsActive()`` termination (bsp_update_store.h:174-176) =
+  ``converged_fn(metrics)`` on driver-side aggregated counts, where the
+  metrics come from ``post_fn(old_state, new_state, step)`` evaluated on
+  the already-materialized new state (so convergence checks never
+  re-execute the superstep plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from planar_spark.config import EngineConfig
+
+StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
+PostFn = Callable[[DataFrame, DataFrame, int], dict]
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    steps_run: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+class SuperstepEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig,
+        kernel: str,
+        run_id: str | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.kernel = kernel
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self._ckpt_root = (
+            os.path.join(config.checkpoint_dir, kernel, self.run_id)
+            if config.checkpoint_dir
+            else None
+        )
+        self._persisted: list[DataFrame] = []
+
+    # ------------------------------------------------------------- ckpt io
+    def _step_dir(self, step: int) -> str:
+        assert self._ckpt_root is not None
+        return os.path.join(self._ckpt_root, f"step={step:05d}")
+
+    def _should_checkpoint(self, step: int) -> bool:
+        every = max(1, self.config.checkpoint_every)
+        return self._ckpt_root is not None and step % every == 0
+
+    def _persist_state(self, state: DataFrame, step: int) -> DataFrame:
+        """Materialize the superstep's state and cut lineage."""
+        if self._should_checkpoint(step):
+            d = self._step_dir(step)
+            state.write.mode("overwrite").parquet(os.path.join(d, "state"))
+            return self.spark.read.parquet(os.path.join(d, "state"))
+        out = state.localCheckpoint(eager=True)
+        self._persisted.append(out)
+        return out
+
+    def _write_meta(self, step: int, metrics: dict) -> None:
+        """Mark a checkpointed superstep complete (atomic rename)."""
+        if not self._should_checkpoint(step):
+            return
+        d = self._step_dir(step)
+        meta = {
+            "run_id": self.run_id,
+            "kernel": self.kernel,
+            "superstep": step,
+            "metrics": metrics,
+            "wall_ts": time.time(),
+            "completed": True,
+        }
+        tmp = os.path.join(d, "_META.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(d, "_META.json"))
+
+    def latest_checkpoint(self) -> tuple[int, DataFrame, dict] | None:
+        """(step, state, metrics) of the newest COMPLETED superstep, or None.
+
+        A superstep whose state parquet exists but whose _META.json was
+        never renamed in (killed mid-write) is ignored — resume restarts
+        it from the previous completed state.
+        """
+        if not self._ckpt_root or not os.path.isdir(self._ckpt_root):
+            return None
+        best = None
+        for name in os.listdir(self._ckpt_root):
+            meta_path = os.path.join(self._ckpt_root, name, "_META.json")
+            if name.startswith("step=") and os.path.exists(meta_path):
+                step = int(name.split("=")[1])
+                if best is None or step > best:
+                    best = step
+        if best is None:
+            return None
+        with open(os.path.join(self._step_dir(best), "_META.json")) as f:
+            meta = json.load(f)
+        state = self.spark.read.parquet(os.path.join(self._step_dir(best), "state"))
+        return best, state, meta.get("metrics", {})
+
+    # ------------------------------------------------------------- runner
+    def run(
+        self,
+        init_state: DataFrame | Callable[[], DataFrame],
+        step_fn: StepFn,
+        max_steps: int,
+        converged_fn: Callable[[dict], bool] | None = None,
+        post_fn: PostFn | None = None,
+        resume: bool = False,
+    ) -> SuperstepResult:
+        start_step = 1
+        all_metrics: list[dict] = []
+        state: DataFrame | None = None
+        if resume:
+            latest = self.latest_checkpoint()
+            if latest is not None:
+                found_step, state, last_metrics = latest
+                all_metrics.append(last_metrics)
+                if converged_fn and last_metrics and converged_fn(last_metrics):
+                    return SuperstepResult(state, found_step, True, all_metrics)
+                start_step = found_step + 1
+        if state is None:
+            state = init_state() if callable(init_state) else init_state
+            state = self._persist_state(state, 0)
+            self._write_meta(0, {"init": True})
+
+        converged = False
+        step = start_step - 1
+        for step in range(start_step, max_steps + 1):
+            t0 = time.time()
+            new_state, metrics = step_fn(state, step)
+            new_state = self._persist_state(new_state, step)
+            metrics = dict(metrics)
+            if post_fn is not None:
+                metrics.update(post_fn(state, new_state, step))
+            metrics["superstep"] = step
+            metrics["seconds"] = time.time() - t0
+            self._write_meta(step, metrics)
+            all_metrics.append(metrics)
+            state = new_state
+            if converged_fn and converged_fn(metrics):
+                converged = True
+                break
+        # Release intermediate local checkpoints, but never the final state.
+        for df in self._persisted:
+            if df is not state:
+                df.unpersist()
+        self._persisted.clear()
+        return SuperstepResult(state, step, converged, all_metrics)

@@ -1,0 +1,133 @@
+"""GraphTables — the engine's data model.
+
+The reference stores a graph as partitioned CSR blocks + a dense vertex
+state array (core/data_structures/graph/mutable_csr_graph.h:86-141,
+nvme/data_structures/graph/pram_block.h:87-94). Our equivalents:
+
+- ``edges(src long, dst long)``   — hash-partitioned by src (the analogue
+  of the reference's vertex-cut buckets, tools/graph_partitioner/
+  partitioner/hash_based_vertexcut.cpp:43-46).
+- ``vertices(url string, vid long)`` — the dictionary (dense 0..N-1 ids,
+  analogue of graph_converter.cpp:126-144's dense remap).
+- ``degrees(vid long, out_deg long)`` — cached aggregate; the reference
+  keeps per-vertex degree arrays in every CSR block.
+
+Columnar parquet + Catalyst replace the hand-built CSR: per-partition
+adjacency is just the co-partitioned edges DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class GraphTables:
+    edges: DataFrame            # (src, dst), self-loops removed
+    vertices: DataFrame         # (url, vid) — may be vid-only (url null)
+    degrees: DataFrame          # (vid, out_deg) — one row per vertex, 0 for dangling
+    num_vertices: int
+    num_edges: int
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.edges.sparkSession
+
+    def cache(self) -> "GraphTables":
+        self.edges.persist()
+        self.degrees.persist()
+        return self
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.degrees.unpersist()
+
+    # ---- undirected closure (used by CC / LPA / triangles) ----
+    def undirected_edges(self) -> DataFrame:
+        """Distinct undirected edge set as canonical (a < b) pairs."""
+        e = self.edges
+        return (
+            e.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def symmetric_edges(self) -> DataFrame:
+        """Both directions of the distinct undirected edge set."""
+        u = self.undirected_edges()
+        return u.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+
+    # ---- persistence (parquet warehouse; Iceberg when jars present) ----
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        self.edges.write.mode(mode).parquet(os.path.join(path, "edges"))
+        self.vertices.write.mode(mode).parquet(os.path.join(path, "vertices"))
+        self.degrees.write.mode(mode).parquet(os.path.join(path, "degrees"))
+        meta = {"num_vertices": self.num_vertices, "num_edges": self.num_edges}
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "GraphTables":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            edges=spark.read.parquet(os.path.join(path, "edges")),
+            vertices=spark.read.parquet(os.path.join(path, "vertices")),
+            degrees=spark.read.parquet(os.path.join(path, "degrees")),
+            num_vertices=meta["num_vertices"],
+            num_edges=meta["num_edges"],
+        )
+
+    @classmethod
+    def from_edges(
+        cls,
+        edges: DataFrame,
+        num_partitions: int = 32,
+        vertices: DataFrame | None = None,
+        drop_self_loops: bool = True,
+    ) -> "GraphTables":
+        """Build a GraphTables from an (src, dst) DataFrame.
+
+        Vertices default to distinct(src ∪ dst). Self-loops are dropped
+        (parity with graph_converter.cpp:113). Edges are hash-partitioned
+        by src so every kernel's gather join on src is co-partitioned.
+        """
+        spark = edges.sparkSession
+        if drop_self_loops:
+            edges = edges.where(F.col("src") != F.col("dst"))
+        edges = edges.repartition(num_partitions, "src").persist()
+        if vertices is None:
+            vids = (
+                edges.select(F.col("src").alias("vid"))
+                .unionAll(edges.select(F.col("dst").alias("vid")))
+                .distinct()
+            )
+            vertices = vids.select(F.lit(None).cast("string").alias("url"), "vid")
+        vertices = vertices.persist()
+        out_deg = edges.groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        degrees = (
+            vertices.select("vid")
+            .join(out_deg, "vid", "left")
+            .select("vid", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+            .repartition(num_partitions, "vid")
+            .persist()
+        )
+        return cls(
+            edges=edges,
+            vertices=vertices,
+            degrees=degrees,
+            num_vertices=vertices.count(),
+            num_edges=edges.count(),
+        )

@@ -1,0 +1,92 @@
+"""Connected components: hash-min label exchange + pointer jumping.
+
+Reference kernel: core/apps/wcc_app.cpp:12-127 (Graft / PointJump /
+Contract over WriteMin) and nvme/apps/wcc_nvme_app.h:48-116 (hash-min:
+each vertex takes the min label over itself and its neighbors, pushed
+through WriteMin). Semantics: weakly-connected components of the
+directed graph = components of the undirected closure; converged label
+of v = min vertex id in v's component; exact-match correctness.
+
+DataFrame formulation per superstep:
+
+  1. hash-min exchange (the Graft):  every vertex's label flows across
+     every undirected edge; each vertex takes the min of its own label
+     and incoming labels — ``symmetric_edges ⋈ labels -> groupBy(vid).min``.
+  2. pointer jumping (the PointJump, wcc_app.cpp:60-77):
+     ``label(v) <- label(label(v))`` as a self-join of the label table —
+     sound because labels are always vertex ids; this collapses chains
+     exponentially, so rounds = O(log diameter) instead of O(diameter).
+
+Termination: changed-label count == 0 (the reference's active-count,
+bsp_update_store.h:111-125).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import SuperstepEngine, SuperstepResult
+from planar_spark.graph.tables import GraphTables
+
+
+def connected_components(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    max_iterations: int = 50,
+    pointer_jumping: bool = True,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Returns state (vid, label) with label = min vid of the component."""
+    config = config or EngineConfig()
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+
+    sym = graph.symmetric_edges().repartition(parts, "src").persist()
+
+    def init_state() -> DataFrame:
+        return graph.vertices.select("vid", F.col("vid").alias("label"))
+
+    def step(labels: DataFrame, _step: int) -> tuple[DataFrame, dict]:
+        msgs = (
+            sym.join(labels, sym["src"] == labels["vid"])
+            .select(F.col("dst").alias("vid"), "label")
+        )
+        min_nbr = msgs.groupBy("vid").agg(F.min("label").alias("nbr_min"))
+        new = (
+            labels.join(min_nbr, "vid", "left")
+            .select(
+                "vid",
+                F.least(
+                    "label", F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if pointer_jumping:
+            parent = new.select(
+                F.col("vid").alias("p_vid"), F.col("label").alias("p_label")
+            )
+            new = (
+                new.join(parent, new["label"] == parent["p_vid"])
+                .select("vid", F.col("p_label").alias("label"))
+            )
+        return new.repartition(parts, "vid"), {}
+
+    def post(old: DataFrame, new: DataFrame, _step: int) -> dict:
+        changed = (
+            new.join(old.select("vid", F.col("label").alias("old_label")), "vid")
+            .where(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        return {"changed": int(changed)}
+
+    def converged(metrics: dict) -> bool:
+        return metrics.get("changed", -1) == 0
+
+    engine = engine or SuperstepEngine(spark, config, "connected_components")
+    result = engine.run(
+        init_state, step, max_iterations, converged, post_fn=post, resume=resume
+    )
+    sym.unpersist()
+    return result

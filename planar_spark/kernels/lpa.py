@@ -1,0 +1,76 @@
+"""Synchronous label propagation (LPA) with deterministic tie-break.
+
+Not present in the reference (the north rule adds it); the closest
+reference patterns are WCC's hash-min exchange (nvme/apps/
+wcc_nvme_app.h:48-75) and Coloring's neighbor-vote loop
+(core/apps/coloring_app.cpp:5-110). Spec (FIXTURES.md §4):
+
+- undirected neighbor multiset over the DISTINCT undirected edge set;
+- synchronous rounds: every vertex simultaneously adopts the most
+  frequent label among its neighbors' previous-round labels;
+- tie-break: smallest label (fully deterministic — exact-match oracle);
+- isolated vertices keep their own label;
+- fixed round count (synchronous LPA can 2-cycle on bipartite
+  structures, so "run R rounds" IS the spec, not a convergence proxy).
+
+Per superstep: one gather join + groupBy(vid, label).count + a
+row_number window partitioned by vid — all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import SuperstepEngine, SuperstepResult
+from planar_spark.graph.tables import GraphTables
+
+
+def label_propagation(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    num_iterations: int | None = None,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Returns state (vid, label) after exactly ``num_iterations`` rounds."""
+    config = config or EngineConfig()
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+    iters = num_iterations or config.lpa_max_iterations
+
+    sym = graph.symmetric_edges().repartition(parts, "src").persist()
+
+    def init_state() -> DataFrame:
+        return graph.vertices.select("vid", F.col("vid").alias("label"))
+
+    def step(labels: DataFrame, _step: int) -> tuple[DataFrame, dict]:
+        msgs = (
+            sym.join(labels, sym["src"] == labels["vid"])
+            .select(F.col("dst").alias("vid"), "label")
+        )
+        counts = msgs.groupBy("vid", "label").agg(F.count(F.lit(1)).alias("n"))
+        w = W.partitionBy("vid").orderBy(F.col("n").desc(), F.col("label").asc())
+        picked = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", F.col("label").alias("new_label"))
+        )
+        new = (
+            labels.join(picked, "vid", "left")
+            .select("vid", F.coalesce("new_label", F.col("label")).alias("label"))
+        )
+        return new.repartition(parts, "vid"), {}
+
+    def post(old: DataFrame, new: DataFrame, _step: int) -> dict:
+        changed = (
+            new.join(old.select("vid", F.col("label").alias("old_label")), "vid")
+            .where(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        return {"changed": int(changed)}
+
+    engine = engine or SuperstepEngine(spark, config, "lpa")
+    result = engine.run(init_state, step, iters, None, post_fn=post, resume=resume)
+    sym.unpersist()
+    return result

@@ -1,0 +1,113 @@
+"""PageRank: textbook power iteration with dangling-mass redistribution.
+
+Reference kernel: core/apps/pagerank_app.h:38-99 and
+nvme/apps/pagerank_vc_nvme_app.h:29-71 — per superstep a "pull" over each
+vertex's adjacency, ``pr_new[v] = d * Σ pr[w]/outdeg(w) + λ`` with fixed
+iteration count. The reference freezes deg-0 vertices at 1/N and never
+redistributes dangling mass (a known quirk; see SURVEY.md §7.3); the
+north rule requires the standard formulation, which we implement:
+
+    pr_{k+1}(v) = (1-d)/N + d * ( Σ_{u->v} pr_k(u)/outdeg(u)
+                                  + dangling_mass_k / N )
+
+so Σ pr == 1 at every superstep (validated in tests).
+
+One superstep = one gather join + one keyed sum — the DataFrame analogue
+of the reference's ParallelVertexDoWithEdges + WriteAdd + Sync
+(core/apis/planar_app_base_op.h:205-346, core/util/atomic.h:52-59):
+
+    contribs = edges ⋈_{src==vid} state  → groupBy(dst).sum(pr/out_deg)
+    state'   = base ⋈_{vid} contribs     → (1-d)/N + d*(contrib + dm/N)
+
+Scale notes:
+- state carries (vid, out_deg, pr) so the per-edge contribution needs no
+  extra join against degrees;
+- the dangling mass is a 1-row aggregate cross-joined in (broadcast) —
+  no driver round-trip inside the plan;
+- hub skew on the gather join is handled by salted_gather_join;
+- partial aggregation makes the groupBy(dst) shuffle one row per
+  (task, dst) — no agg-side salting needed;
+- per-superstep checkpoint truncates lineage (SuperstepEngine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.skew import hub_vertices, salted_gather_join
+from planar_spark.graph.superstep import SuperstepEngine, SuperstepResult
+from planar_spark.graph.tables import GraphTables
+
+
+def pagerank(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    num_iterations: int | None = None,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Returns state (vid, out_deg, pr); final pr sums to 1."""
+    config = config or EngineConfig()
+    spark = graph.spark
+    n = graph.num_vertices
+    d = config.damping
+    iters = num_iterations or config.max_iterations
+    parts = config.partitions_for(spark)
+
+    edges = graph.edges
+    base = graph.degrees  # (vid, out_deg), partitioned by vid
+    hubs_df = hub_vertices(graph.degrees, config.hub_degree_threshold)
+    hubs = hubs_df if hubs_df.limit(1).count() > 0 else None
+
+    def init_state() -> DataFrame:
+        return base.withColumn("pr", F.lit(1.0 / n))
+
+    def step(state: DataFrame, _step: int) -> tuple[DataFrame, dict]:
+        live = state.where(F.col("out_deg") > 0).select(
+            "vid", (F.col("pr") / F.col("out_deg")).alias("w")
+        )
+        gathered = salted_gather_join(edges, live, config, hubs=hubs)
+        contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
+            F.sum("w").alias("contrib")
+        )
+        dangling = state.where(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
+        )
+        new_state = (
+            base.join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vid",
+                "out_deg",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("pr"),
+            )
+            .repartition(parts, "vid")
+        )
+        return new_state, {}
+
+    def post(old_state: DataFrame, new_state: DataFrame, _step: int) -> dict:
+        if config.tolerance <= 0:
+            return {}
+        delta = (
+            new_state.select("vid", "pr")
+            .join(old_state.select("vid", F.col("pr").alias("pr_old")), "vid")
+            .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("l1"))
+            .collect()[0]["l1"]
+        )
+        return {"l1_delta": float(delta if delta is not None else 0.0)}
+
+    def converged(metrics: dict) -> bool:
+        return (
+            config.tolerance > 0
+            and metrics.get("l1_delta", float("inf")) < config.tolerance
+        )
+
+    engine = engine or SuperstepEngine(spark, config, "pagerank")
+    return engine.run(
+        init_state, step, iters, converged, post_fn=post, resume=resume
+    )

@@ -1,0 +1,140 @@
+"""Pure NumPy/Python oracles — the correctness ground truth for pytest.
+
+No Spark, no external graph libraries: independent implementations of
+each kernel's spec, so the DataFrame kernels are validated against a
+second, structurally different computation (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _dedupe(edges: np.ndarray, drop_self_loops: bool = True) -> np.ndarray:
+    if len(edges) == 0:
+        return edges.reshape(0, 2).astype(np.int64)
+    e = edges.astype(np.int64)
+    if drop_self_loops:
+        e = e[e[:, 0] != e[:, 1]]
+    return np.unique(e, axis=0)
+
+
+def oracle_pagerank(
+    edges: np.ndarray,
+    num_vertices: int,
+    damping: float = 0.85,
+    num_iterations: int = 20,
+    tolerance: float = 0.0,
+) -> np.ndarray:
+    """Power iteration with dangling-mass redistribution.
+
+    pr_{k+1}(v) = (1-d)/N + d*(sum_{u->v} pr_k(u)/outdeg(u) + dm_k/N).
+    Multi-edges count multiply (outdeg = edge count), matching the
+    engine, which uses the raw (self-loop-free) edge table.
+    """
+    n = num_vertices
+    e = edges.astype(np.int64)
+    e = e[e[:, 0] != e[:, 1]]
+    out_deg = np.bincount(e[:, 0], minlength=n).astype(np.float64)
+    pr = np.full(n, 1.0 / n, dtype=np.float64)
+    dangling = out_deg == 0
+    for _ in range(num_iterations):
+        w = np.zeros(n, dtype=np.float64)
+        nz = ~dangling
+        w[nz] = pr[nz] / out_deg[nz]
+        contrib = np.bincount(e[:, 1], weights=w[e[:, 0]], minlength=n)
+        dm = pr[dangling].sum()
+        new_pr = (1.0 - damping) / n + damping * (contrib + dm / n)
+        delta = np.abs(new_pr - pr).sum()
+        pr = new_pr
+        if tolerance > 0 and delta < tolerance:
+            break
+    return pr
+
+
+def oracle_components(edges: np.ndarray, num_vertices: int) -> np.ndarray:
+    """Union-find; label[v] = min vid of v's undirected component."""
+    parent = np.arange(num_vertices, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in _dedupe(edges):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            # union by min id keeps the invariant root == min of its tree
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    return np.array([find(v) for v in range(num_vertices)], dtype=np.int64)
+
+
+def oracle_lpa(
+    edges: np.ndarray, num_vertices: int, num_iterations: int
+) -> np.ndarray:
+    """Synchronous LPA, distinct undirected neighbors, min-label tie-break."""
+    e = _dedupe(edges)
+    und = _dedupe(np.concatenate([e, e[:, ::-1]])) if len(e) else e
+    nbrs: list[list[int]] = [[] for _ in range(num_vertices)]
+    for s, d in und:
+        nbrs[int(s)].append(int(d))
+    labels = np.arange(num_vertices, dtype=np.int64)
+    for _ in range(num_iterations):
+        new = labels.copy()
+        for v in range(num_vertices):
+            if not nbrs[v]:
+                continue
+            counts: dict[int, int] = {}
+            for u in nbrs[v]:
+                lab = int(labels[u])
+                counts[lab] = counts.get(lab, 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def oracle_triangle_count(edges: np.ndarray) -> int:
+    """Exact triangle count of the undirected simple graph."""
+    und = _dedupe(edges)
+    und = np.unique(np.sort(und, axis=1), axis=0)  # canonical a<b
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    count = 0
+    edge_set = {(int(a), int(b)) for a, b in und}
+    for a, b in edge_set:
+        na, nb = adj[a], adj[b]
+        small, large = (na, nb) if len(na) <= len(nb) else (nb, na)
+        for c in small:
+            if c > b and c in large:
+                count += 1
+    return count
+
+
+def oracle_sssp(
+    edges: np.ndarray, num_vertices: int, source: int
+) -> np.ndarray:
+    """BFS levels along DIRECTED edges (unit weights, the reference's
+    SSSP semantics: core/apps/sssp_app.cpp uses dist+1 relaxation).
+    Unreached = -1."""
+    from collections import deque
+
+    adj: list[list[int]] = [[] for _ in range(num_vertices)]
+    for s, d in _dedupe(edges):
+        adj[int(s)].append(int(d))
+    dist = np.full(num_vertices, -1, dtype=np.int64)
+    dist[source] = 0
+    q = deque([source])
+    while q:
+        v = q.popleft()
+        for u in adj[v]:
+            if dist[u] < 0:
+                dist[u] = dist[v] + 1
+                q.append(u)
+    return dist

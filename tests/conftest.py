@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from planar_spark import EngineConfig, get_spark
+from planar_spark.graph.tables import GraphTables
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("planar_spark_tests", cores=4, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def config(tmp_path_factory):
+    return EngineConfig(
+        num_partitions=8,
+        checkpoint_dir=None,  # tests use localCheckpoint unless overridden
+        hub_degree_threshold=1000,
+    )
+
+
+def graph_from_numpy(spark, edges: np.ndarray, num_vertices: int) -> GraphTables:
+    """Small-fixture helper: numpy edge list -> GraphTables with the full
+    vertex range 0..num_vertices-1 (so isolated vertices are represented)."""
+    from pyspark.sql import functions as F
+
+    edf = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in edges], schema="src long, dst long"
+    )
+    vdf = spark.range(num_vertices).select(
+        F.lit(None).cast("string").alias("url"), F.col("id").alias("vid")
+    )
+    return GraphTables.from_edges(edf, num_partitions=8, vertices=vdf)

@@ -1,0 +1,116 @@
+"""Connected components + LPA + triangles vs oracles (exact)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from planar_spark.ingest.pages import (
+    edges_dangling_chain,
+    edges_powerlaw,
+    edges_ring,
+    edges_simple4,
+    edges_star_hub,
+    edges_two_cliques,
+)
+from planar_spark.kernels import (
+    connected_components,
+    label_propagation,
+    triangle_count,
+    triangle_count_per_vertex,
+)
+from planar_spark.oracle import (
+    oracle_components,
+    oracle_lpa,
+    oracle_triangle_count,
+)
+
+from tests.conftest import graph_from_numpy
+
+
+def _labels_array(result, n):
+    rows = {r["vid"]: r["label"] for r in result.state.collect()}
+    return np.array([rows[v] for v in range(n)])
+
+
+CASES = [
+    ("simple4", edges_simple4(), 4),
+    ("ring", edges_ring(64), 64),
+    ("two_cliques", *edges_two_cliques(5, n_isolated=3)),
+    ("dangling_chain", edges_dangling_chain(40), 40),
+    ("powerlaw", edges_powerlaw(300, m=3, seed=42), 300),
+]
+
+
+@pytest.mark.parametrize("name,edges,n", CASES, ids=[c[0] for c in CASES])
+def test_components_exact(spark, config, name, edges, n):
+    g = graph_from_numpy(spark, edges, n)
+    result = connected_components(g, config)
+    assert result.converged
+    got = _labels_array(result, n)
+    want = oracle_components(edges, n)
+    assert (got == want).all()
+
+
+def test_components_without_pointer_jumping(spark, config):
+    edges, n = edges_two_cliques(5, n_isolated=2)
+    g = graph_from_numpy(spark, edges, n)
+    result = connected_components(g, config, pointer_jumping=False)
+    got = _labels_array(result, n)
+    assert (got == oracle_components(edges, n)).all()
+
+
+def test_pointer_jumping_converges_faster(spark, config):
+    n = 64
+    g = graph_from_numpy(spark, edges_ring(n), n)
+    fast = connected_components(g, config, pointer_jumping=True)
+    assert fast.converged
+    # a 64-ring needs ~63 plain hash-min rounds; pointer jumping is O(log n)
+    assert fast.steps_run <= 10
+
+
+@pytest.mark.parametrize(
+    "name,edges,n",
+    [c for c in CASES if c[0] != "powerlaw"],
+    ids=[c[0] for c in CASES if c[0] != "powerlaw"],
+)
+def test_lpa_exact(spark, config, name, edges, n):
+    rounds = 4
+    g = graph_from_numpy(spark, edges, n)
+    result = label_propagation(g, config, num_iterations=rounds)
+    got = _labels_array(result, n)
+    want = oracle_lpa(edges, n, rounds)
+    assert (got == want).all()
+
+
+TRI_CASES = [
+    ("simple4", edges_simple4(), 2),  # {0,1,3} and {1,2,3} — FIXTURES.md §3
+    ("ring", edges_ring(64), 0),
+    ("two_cliques_5", edges_two_cliques(5)[0], 2 * 10),  # 2*C(5,3)
+    ("two_cliques_50", edges_two_cliques(50)[0], 2 * 19600),  # 2*C(50,3)
+    ("powerlaw", edges_powerlaw(300, m=3, seed=42), None),
+]
+
+
+@pytest.mark.parametrize(
+    "name,edges,expected", TRI_CASES, ids=[c[0] for c in TRI_CASES]
+)
+def test_triangle_count_exact(spark, config, name, edges, expected):
+    n = int(edges.max()) + 1
+    g = graph_from_numpy(spark, edges, n)
+    got = triangle_count(g, config)
+    want = oracle_triangle_count(edges)
+    if expected is not None:
+        assert want == expected  # analytic cross-check of the oracle itself
+    assert got == want
+
+
+def test_triangle_per_vertex(spark, config):
+    edges = edges_simple4()
+    g = graph_from_numpy(spark, edges, 4)
+    rows = {
+        r["vid"]: r["triangles"]
+        for r in triangle_count_per_vertex(g, config).collect()
+    }
+    # triangles {0,1,3} and {1,2,3}: 1 and 3 are in both
+    assert rows == {0: 1, 1: 2, 2: 1, 3: 2}

@@ -1,0 +1,121 @@
+"""Neighborhood operators: adjacency stats, two-hop, k-hop risk, walks.
+
+Reference parity:
+- ``one_hop_min``  = GetNeiMinId (mutable_block_csr_graph.h:213-234):
+  per-vertex min out-neighbor id.
+- ``two_hop_stats`` = the two-hop precompute (nvme/precomputing/
+  two_hop_neighbor.h:11-227): per-vertex min/max two-hop neighbor —
+  a self-equi-join of the edge table instead of the reference's
+  block-nested loop.
+- ``khop_risk``   = the k-hop risk app (nvme/apps/k-hop_app.h:26-77):
+  seed a risky set, count risky out-neighbors, then flag vertices whose
+  own + neighbor risk counts exceed a threshold. The reference seeds
+  with rand(); we seed deterministically (vid % seed_mod == 0) so the
+  result is oracle-checkable.
+- ``random_walk`` = the random-walk app (core/apps/randomwalk_app.cpp:
+  27-43): per-vertex walks following sampled out-edges, deg-0 vertices
+  walk to themselves. The reference samples with an unseeded rand();
+  we make the choice deterministic — next hop = argmin over out-edges
+  of an explicit mixing hash — so walks are exactly reproducible and
+  SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.tables import GraphTables
+
+# explicit mixing hash for deterministic walks — identical formula in the
+# DuckDB oracle (all terms < 2^40 for vid spaces < ~2^20, no overflow)
+WALK_H_A, WALK_H_B, WALK_H_C, WALK_H_MOD = 131071, 8191, 524287, 1000003
+
+
+def one_hop_min(graph: GraphTables) -> DataFrame:
+    """(vid, min_nbr): min out-neighbor per vertex with out-degree > 0."""
+    return graph.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.min("dst").alias("min_nbr")
+    )
+
+
+def two_hop_stats(graph: GraphTables) -> DataFrame:
+    """(vid, min_two_hop, max_two_hop) over directed two-hop paths."""
+    e1 = graph.edges.select(F.col("src").alias("vid"), F.col("dst").alias("mid"))
+    e2 = graph.edges.select(F.col("src").alias("mid"), F.col("dst").alias("two"))
+    return (
+        e1.join(e2, "mid")
+        .groupBy("vid")
+        .agg(
+            F.min("two").alias("min_two_hop"),
+            F.max("two").alias("max_two_hop"),
+        )
+    )
+
+
+def khop_risk(
+    graph: GraphTables, seed_mod: int = 17, threshold: int = 4
+) -> DataFrame:
+    """(vid, risky): two-round risk propagation, deterministic seeds."""
+    seeds = F.col("vid") % seed_mod == 0
+    verts = graph.vertices.select("vid", seeds.cast("long").alias("seed"))
+    # round 1: count risky out-neighbors
+    seed_dst = verts.select(F.col("vid").alias("dst"), "seed")
+    cnt1 = (
+        graph.edges.join(seed_dst, "dst")
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("seed").alias("risk1"))
+    )
+    base = verts.join(cnt1, "vid", "left").select(
+        "vid", "seed", F.coalesce("risk1", F.lit(0)).alias("risk1")
+    )
+    # round 2: own seed + sum of out-neighbor risk counts vs threshold
+    nbr_risk = (
+        graph.edges.join(
+            base.select(F.col("vid").alias("dst"), F.col("risk1").alias("r")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("r").alias("nbr_risk"))
+    )
+    return (
+        base.join(nbr_risk, "vid", "left")
+        .select(
+            "vid",
+            (
+                (F.col("seed") + F.coalesce("nbr_risk", F.lit(0)) > threshold)
+                | (F.col("seed") == 1)
+            )
+            .cast("long")
+            .alias("risky"),
+        )
+    )
+
+
+def random_walk(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    num_steps: int = 4,
+    start_mod: int = 31,
+) -> DataFrame:
+    """(start, cur): end vertex of a ``num_steps``-step deterministic walk
+    from every vertex with vid % start_mod == 0."""
+    config = config or EngineConfig()
+    edges = graph.edges
+    walks = graph.vertices.where(F.col("vid") % start_mod == 0).select(
+        F.col("vid").alias("start"), F.col("vid").alias("cur")
+    )
+    for k in range(1, num_steps + 1):
+        cand = walks.join(edges, walks["cur"] == edges["src"], "left")
+        h = (
+            F.col("cur") * WALK_H_A
+            + F.coalesce(F.col("dst"), F.lit(0)) * WALK_H_B
+            + F.lit(k) * WALK_H_C
+        ) % WALK_H_MOD
+        w = W.partitionBy("start").orderBy(h.asc(), F.col("dst").asc())
+        walks = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("start", F.coalesce("dst", F.col("cur")).alias("cur"))
+        )
+    return walks

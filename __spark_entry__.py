@@ -42,6 +42,11 @@ from planar_spark.kernels.neighborhood import (
     two_hop_stats,
 )
 from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
+from planar_spark.kernels.textops import (
+    embedding_topk,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+)
 from planar_spark.kernels.triangles import _closed_wedges
 from planar_spark.testdata_graph import V_MOD, derive_edges
 
@@ -243,6 +248,47 @@ def _random_walk_sql() -> str:
     return "\n".join(parts)
 
 
+# MinHash/LSH oracle prelude: word 3-gram shingles (short docs -> whole
+# token string), 8 salted-md5 min-hashes, 4 bands x 2 rows — mirrors
+# planar_spark/kernels/textops.py exactly.
+_MINHASH_HASHES = 8
+_MINHASH_BANDS = 4
+_MINHASH_CTES = (
+    r"""WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
+),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT t.doc_id,
+               array_to_string(t.tokens[u.i:u.i+2], ' ') AS shingle
+        FROM toks t, UNNEST(generate_series(1, len(t.tokens) - 2)) AS u(i)
+        WHERE len(t.tokens) >= 3
+        UNION ALL
+        SELECT doc_id, array_to_string(tokens, ' ')
+        FROM toks WHERE len(tokens) < 3
+    )
+),
+sig AS MATERIALIZED (
+    SELECT doc_id,
+"""
+    + ",\n".join(
+        f"           MIN(md5('{i}#' || shingle)) AS h{i}"
+        for i in range(_MINHASH_HASHES)
+    )
+    + """
+    FROM sh GROUP BY doc_id
+),
+buckets AS MATERIALIZED (
+"""
+    + "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1})"
+        f" AS bkey FROM sig"
+        for b in range(_MINHASH_BANDS)
+    )
+    + "\n)"
+)
+
+
 # ---------------------------------------------------------------- queries
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -335,6 +381,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_chars").alias("total_chars"),
         )
 
+    def q_minhash_lsh_pairs(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return lsh_candidate_pairs(docs, n=3, num_hashes=8, bands=4)
+
+    def q_ngram_jaccard(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = lsh_candidate_pairs(docs, n=3, num_hashes=8, bands=4)
+        return ngram_jaccard(docs, pairs, n=3)
+
+    def q_embedding_topk(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_topk(emb, query_mod=100, k=5)
+
+    # --- weak-check queries (no SQL-expressible oracle: iterative with
+    # data-dependent round counts / matrix math; driver records
+    # rows-only) ---
+    def q_msf(spark, sf_dir):
+        from planar_spark.kernels.mst import boruvka_msf
+
+        return boruvka_msf(_graph8(spark, sf_dir), _cfg())
+
+    def q_coloring(spark, sf_dir):
+        from planar_spark.kernels.coloring import greedy_coloring
+
+        return greedy_coloring(_graph8(spark, sf_dir), _cfg())
+
+    def q_gnn_forward(spark, sf_dir):
+        from planar_spark.kernels.gnn import gnn_forward
+
+        g = _graph8(spark, sf_dir)
+        dim = 8
+        feats = g.vertices.select(
+            "vid",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: ((F.col("vid") * 31 + i) % 97).cast("double") / 97.0,
+            ).alias("vec"),
+        )
+        return gnn_forward(g, feats, num_layers=1, dim=dim, config=_cfg())
+
     return {
         "pagerank": q_pagerank,
         "wcc": q_wcc,
@@ -351,6 +437,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "lang_stats": q_lang_stats,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "msf": q_msf,
+        "coloring": q_coloring,
+        "gnn_forward": q_gnn_forward,
     }
 
 
@@ -412,4 +504,51 @@ FROM documents""",
         "lang_stats": """SELECT lang, COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars
 FROM documents GROUP BY lang""",
+        "minhash_lsh_pairs": _MINHASH_CTES
+        + """
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM buckets l JOIN buckets r ON l.band = r.band AND l.bkey = r.bkey
+WHERE l.doc_id < r.doc_id""",
+        "ngram_jaccard": _MINHASH_CTES
+        + r"""
+, pairs AS MATERIALIZED (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM buckets l JOIN buckets r ON l.band = r.band AND l.bkey = r.bkey
+    WHERE l.doc_id < r.doc_id
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+    SELECT p.a, p.b, COUNT(*) AS i
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.a
+    JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+    GROUP BY p.a, p.b
+)
+SELECT p.a, p.b,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes za ON za.doc_id = p.a
+JOIN sizes zb ON zb.doc_id = p.b""",
+        "embedding_topk": r"""WITH nrm AS MATERIALIZED (
+    SELECT vec_id, embedding,
+           SQRT(list_aggregate(list_transform(list_zip(embedding, embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+           AS nrm
+    FROM embeddings
+),
+sims AS MATERIALIZED (
+    SELECT q.vec_id AS q, n.vec_id AS neighbor,
+           ROUND(list_aggregate(list_transform(list_zip(q.embedding, n.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (q.nrm * n.nrm), 4) AS sim
+    FROM nrm q CROSS JOIN nrm n
+    WHERE q.vec_id % 100 = 0 AND q.vec_id <> n.vec_id
+)
+SELECT q, neighbor, sim FROM (
+    SELECT q, neighbor, sim,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, neighbor ASC) AS rn
+    FROM sims
+) WHERE rn <= 5""",
     }

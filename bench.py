@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: graph kernels on the sf0.1 derived link graph.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., ...extras}
+
+Input: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The bench graph folds lineitem into a
+65536-vertex space (sparser, more web-like than the 4096-vertex
+correctness graph): ~600k edges, avg out-degree ~9 at sf0.1.
+
+PageRank throughput is the BASELINE.md target metric: edges/sec =
+num_edges * supersteps / seconds, plus supersteps/hour.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from planar_spark import EngineConfig, get_spark
+from planar_spark.graph.tables import GraphTables
+from planar_spark.kernels import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from planar_spark.kernels.neighborhood import two_hop_stats
+from planar_spark.kernels.sssp import bfs_sssp
+
+BENCH_V_MOD = 65536
+PR_ITERS = 5
+LPA_ROUNDS = 3
+
+
+def bench_graph(spark, sf_dir: str, parts: int) -> GraphTables:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        li.select(
+            (
+                (F.col("l_orderkey") * 2654435761 + F.col("l_linenumber"))
+                % BENCH_V_MOD
+            ).alias("src"),
+            ((F.col("l_partkey") * 40503 + F.col("l_suppkey")) % BENCH_V_MOD).alias(
+                "dst"
+            ),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return GraphTables.from_edges(e, num_partitions=parts)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    parts = max(cpus, 8)
+    spark = get_spark("planar_spark_bench", cores=cpus, shuffle_partitions=parts)
+    cfg = EngineConfig(num_partitions=parts, tolerance=0.0, checkpoint_dir=None)
+
+    g = bench_graph(spark, sf_dir, parts)  # from_edges counts = warm-up
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    pr = timed(
+        "pagerank", lambda: pagerank(g, cfg, num_iterations=PR_ITERS)
+    )
+    timed("wcc", lambda: connected_components(g, cfg))
+    timed(
+        "lpa", lambda: label_propagation(g, cfg, num_iterations=LPA_ROUNDS)
+    )
+    timed("triangle_count", lambda: triangle_count(g, cfg))
+    timed(
+        "sssp",
+        lambda: bfs_sssp(
+            g, int(g.vertices.agg(F.min("vid")).collect()[0][0]), cfg
+        ),
+    )
+    timed("two_hop_stats", lambda: two_hop_stats(g).count())
+
+    total = round(sum(timings.values()), 3)
+    pr_sec = timings["pagerank"]
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_graph_kernels_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_vertices": g.num_vertices,
+        "num_edges": g.num_edges,
+        "cores": cpus,
+        "pagerank_supersteps": pr.steps_run,
+        "pagerank_edges_per_sec": round(g.num_edges * pr.steps_run / pr_sec),
+        "pagerank_supersteps_per_hour": round(3600.0 * pr.steps_run / pr_sec, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

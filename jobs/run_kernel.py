@@ -1,0 +1,110 @@
+"""spark-submit entry point: run one kernel over a pages or edges table.
+
+The reference ships one executable per kernel (planar/pagerank.cpp,
+nvme/run/wcc_nvme.cpp, ...) configured by gflags; this is the single
+spark-submit analogue:
+
+    spark-submit --py-files planar_spark.zip jobs/run_kernel.py \
+        --kernel pagerank --pages /data/pages --output /out/pr \
+        --checkpoint-dir /ckpt --run-id prod42 [--resume]
+
+Input is either --pages (parquet/Iceberg table of (url, warc_ts, html,
+text, lang) — ingest runs first) or --graph (a directory previously
+written by GraphTables.write / --save-graph).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import SuperstepEngine
+from planar_spark.graph.tables import GraphTables
+from planar_spark.ingest.build import build_graph_tables
+from planar_spark.kernels import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count_per_vertex,
+)
+from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
+
+KERNELS = ("pagerank", "wcc", "lpa", "triangles", "sssp")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", choices=KERNELS, required=True)
+    ap.add_argument("--pages", help="pages table path (runs ingest)")
+    ap.add_argument("--graph", help="GraphTables directory (skips ingest)")
+    ap.add_argument("--save-graph", help="write ingested GraphTables here")
+    ap.add_argument("--output", required=True, help="result parquet path")
+    ap.add_argument("--checkpoint-dir")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--source", type=int, default=0, help="sssp source vid")
+    args = ap.parse_args()
+    if not (args.pages or args.graph):
+        ap.error("one of --pages / --graph is required")
+
+    spark = SparkSession.builder.appName(f"planar_spark_{args.kernel}").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = EngineConfig(
+        checkpoint_dir=args.checkpoint_dir,
+        num_partitions=args.partitions
+        or int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    if args.graph:
+        g = GraphTables.read(spark, args.graph).cache()
+    else:
+        g = build_graph_tables(
+            spark.read.parquet(args.pages), num_partitions=cfg.num_partitions
+        ).cache()
+        if args.save_graph:
+            g.write(args.save_graph)
+
+    def engine(name: str) -> SuperstepEngine:
+        return SuperstepEngine(spark, cfg, name, run_id=args.run_id)
+
+    if args.kernel == "pagerank":
+        r = pagerank(g, cfg, num_iterations=args.iterations,
+                     engine=engine("pagerank"), resume=args.resume)
+        out, meta = r.state.select("vid", "pr"), r
+    elif args.kernel == "wcc":
+        r = connected_components(g, cfg, engine=engine("connected_components"),
+                                 resume=args.resume)
+        out, meta = r.state, r
+    elif args.kernel == "lpa":
+        r = label_propagation(g, cfg, num_iterations=args.iterations,
+                              engine=engine("lpa"), resume=args.resume)
+        out, meta = r.state, r
+    elif args.kernel == "triangles":
+        out, meta = triangle_count_per_vertex(g, cfg), None
+    else:  # sssp
+        r = bfs_sssp(g, args.source, cfg, engine=engine("sssp"),
+                     resume=args.resume)
+        out, meta = sssp_with_unreached(g, r.state), r
+
+    out.write.mode("overwrite").parquet(args.output)
+    summary = {
+        "kernel": args.kernel,
+        "num_vertices": g.num_vertices,
+        "num_edges": g.num_edges,
+        "output": args.output,
+    }
+    if meta is not None:
+        summary.update(
+            steps_run=meta.steps_run,
+            converged=meta.converged,
+            superstep_seconds=[m.get("seconds") for m in meta.metrics],
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

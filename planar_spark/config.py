@@ -43,6 +43,13 @@ class EngineConfig:
     # below this (reference analogue: whole vertex-state array shared in
     # memory, core/update_stores/bsp_update_store.h:35-36).
     broadcast_max_rows: int = 2_000_000
+    # Join strategy hint for the per-superstep gather (edges ⋈ state).
+    # "merge" pins a sort-merge join against the pre-partitioned,
+    # pre-sorted cached edge table (zero exchange + zero sort on the
+    # edge side). Without it AQE tends to pick a broadcast join of the
+    # state, whose serial per-superstep broadcast build becomes the
+    # Amdahl bottleneck at high parallelism. None/"" = let AQE choose.
+    gather_join: str | None = "merge"
 
     # --- LPA ---
     lpa_max_iterations: int = 10

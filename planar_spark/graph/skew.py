@@ -54,7 +54,8 @@ def salted_gather_join(
     """
     k = max(1, config.salt_buckets)
     if hubs is None:
-        return edges.join(state, edges["src"] == state["vid"]).drop("vid")
+        e = edges.hint(config.gather_join) if config.gather_join else edges
+        return e.join(state, e["src"] == state["vid"]).drop("vid")
 
     hub_flag = hubs.select(F.col("vid").alias("src"), F.lit(True).alias("_is_hub"))
     e = (

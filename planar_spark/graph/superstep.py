@@ -167,11 +167,17 @@ class SuperstepEngine:
             metrics["seconds"] = time.time() - t0
             self._write_meta(step, metrics)
             all_metrics.append(metrics)
+            # The old state is dead once the new one is materialized and
+            # post-metrics are computed — release its cached blocks now,
+            # or long runs accumulate every superstep's state in memory.
+            if any(df is state for df in self._persisted):
+                state.unpersist()
+                self._persisted = [df for df in self._persisted if df is not state]
             state = new_state
             if converged_fn and converged_fn(metrics):
                 converged = True
                 break
-        # Release intermediate local checkpoints, but never the final state.
+        # Release any remaining intermediates, but never the final state.
         for df in self._persisted:
             if df is not state:
                 df.unpersist()

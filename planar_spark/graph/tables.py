@@ -105,7 +105,17 @@ class GraphTables:
         spark = edges.sparkSession
         if drop_self_loops:
             edges = edges.where(F.col("src") != F.col("dst"))
-        edges = edges.repartition(num_partitions, "src").persist()
+        # Partition AND sort by src once, then cache: the cached plan
+        # keeps both outputPartitioning and outputOrdering, so every
+        # superstep's gather merge-join neither re-shuffles nor re-sorts
+        # the (large) edge side — only the (small) vertex state moves.
+        # This is the DataFrame analogue of the reference storing CSR
+        # blocks sorted by vertex id (tools/common/io.cpp:127-135).
+        edges = (
+            edges.repartition(num_partitions, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
         if vertices is None:
             vids = (
                 edges.select(F.col("src").alias("vid"))

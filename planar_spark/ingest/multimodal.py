@@ -1,0 +1,83 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Web-crawl pipelines carry images/audio alongside html. The engine
+treats such payloads as opaque ``binary`` columns with typed metadata
+structs, and runs decode / feature-extract steps as Arrow-batched
+``mapInPandas`` operators so the Spark-side plumbing (schema,
+partitioning, batch shape) is real and tested even though the actual
+codec libraries are not in this container.
+
+``decode_image_batch`` is therefore STUBBED: with ``fake=True``
+(default here) it produces a deterministic feature vector from the
+bytes; with ``fake=False`` it raises NotImplementedError where a real
+decoder (PIL/libvips) would be called. Swapping in the real decoder
+changes ONE function, not the dataflow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "url string, media_type string, payload binary, "
+    "width int, height int, n_bytes long"
+)
+FEATURE_DIM = 16
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for decode+embed: md5-seeded vector."""
+    h = hashlib.md5(payload).digest()
+    seed = int.from_bytes(h[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def decode_image_batch(
+    batches: Iterator[pd.DataFrame], fake: bool = True
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: (url, payload, ...) -> (url, feature)."""
+    for pdf in batches:
+        if not fake:
+            raise NotImplementedError(
+                "real image decode requires PIL/libvips — not in this "
+                "container; run with fake=True or install codecs"
+            )
+        feats = [
+            _fake_decode(bytes(p)).tolist() for p in pdf["payload"]
+        ]
+        yield pd.DataFrame({"url": pdf["url"], "feature": feats})
+
+
+def extract_media_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
+    """media table -> (url, feature array<float>). Partition-preserving;
+    the decode runs as Arrow batches, never row-at-a-time."""
+    def op(batches):
+        return decode_image_batch(batches, fake=fake)
+
+    return media_df.select("url", "payload").mapInPandas(
+        op, schema="url string, feature array<float>"
+    )
+
+
+def synth_media_df(spark, num_rows: int = 64) -> DataFrame:
+    """Deterministic fixture media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(num_rows):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
+        rows.append(
+            (
+                f"https://site{i % 7}.example/img/{i}.png",
+                "image/png",
+                bytearray(payload),
+                32,
+                32,
+                len(payload),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -2,6 +2,10 @@ from planar_spark.kernels.pagerank import pagerank
 from planar_spark.kernels.components import connected_components
 from planar_spark.kernels.lpa import label_propagation
 from planar_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
+from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
+from planar_spark.kernels.mst import boruvka_msf
+from planar_spark.kernels.coloring import greedy_coloring
+from planar_spark.kernels.gnn import gnn_forward
 
 __all__ = [
     "pagerank",
@@ -9,4 +13,9 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangle_count_per_vertex",
+    "bfs_sssp",
+    "sssp_with_unreached",
+    "boruvka_msf",
+    "greedy_coloring",
+    "gnn_forward",
 ]

@@ -35,20 +35,46 @@ def connected_components(
     config: EngineConfig | None = None,
     max_iterations: int = 50,
     pointer_jumping: bool = True,
+    contract: bool = False,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
 ) -> SuperstepResult:
-    """Returns state (vid, label) with label = min vid of the component."""
+    """Returns state (vid, label) with label = min vid of the component.
+
+    ``contract=True`` additionally shrinks the live edge set each round
+    by dropping edges whose endpoints already share a label — the
+    reference's Contract step (MapAndMutateEdgeBool,
+    nvme/apps/wcc_nvme_app.h:77-93; CSR compaction
+    pram_block.h:176-250). In Spark the "mutation" is just a filtered
+    re-materialized DataFrame per round.
+    """
     config = config or EngineConfig()
     spark = graph.spark
     parts = config.partitions_for(spark)
+    # Contraction is only sound with pointer jumping: same-label
+    # endpoints stay connected through the parent chain (which keeps
+    # receiving future relabelings), exactly as the reference contracts
+    # only after PointJump (wcc_nvme_app.h:95-116).
+    assert not contract or pointer_jumping, "contract requires pointer_jumping"
 
-    sym = graph.symmetric_edges().repartition(parts, "src").persist()
+    edge_state = {"sym": graph.symmetric_edges().repartition(parts, "src").persist()}
 
     def init_state() -> DataFrame:
         return graph.vertices.select("vid", F.col("vid").alias("label"))
 
     def step(labels: DataFrame, _step: int) -> tuple[DataFrame, dict]:
+        sym = edge_state["sym"]
+        if contract and _step > 1:
+            la = labels.select(F.col("vid").alias("src"), F.col("label").alias("ls"))
+            lb = labels.select(F.col("vid").alias("dst"), F.col("label").alias("ld"))
+            shrunk = (
+                sym.join(la, "src").join(lb, "dst")
+                .where(F.col("ls") != F.col("ld"))
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            sym.unpersist()
+            edge_state["sym"] = sym = shrunk
         msgs = (
             sym.join(labels, sym["src"] == labels["vid"])
             .select(F.col("dst").alias("vid"), "label")
@@ -71,7 +97,7 @@ def connected_components(
                 new.join(parent, new["label"] == parent["p_vid"])
                 .select("vid", F.col("p_label").alias("label"))
             )
-        return new.repartition(parts, "vid"), {}
+        return new, {}
 
     def post(old: DataFrame, new: DataFrame, _step: int) -> dict:
         changed = (
@@ -88,5 +114,5 @@ def connected_components(
     result = engine.run(
         init_state, step, max_iterations, converged, post_fn=post, resume=resume
     )
-    sym.unpersist()
+    edge_state["sym"].unpersist()
     return result

@@ -60,7 +60,7 @@ def label_propagation(
             labels.join(picked, "vid", "left")
             .select("vid", F.coalesce("new_label", F.col("label")).alias("label"))
         )
-        return new.repartition(parts, "vid"), {}
+        return new, {}
 
     def post(old: DataFrame, new: DataFrame, _step: int) -> dict:
         changed = (

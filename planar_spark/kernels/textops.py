@@ -1,0 +1,179 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+Beyond the reference's graph kernels, a web-scale link-graph pipeline
+needs corpus hygiene ops. All deterministic and oracle-checkable:
+cross-system hashing uses md5 (identical hex output in Spark and
+DuckDB); MinHash treats the md5 hex string itself as the hash value
+(lexicographic MIN over strings is a valid MinHash — no integer
+conversion needed, so no overflow/signedness mismatches between
+engines).
+
+- tokenize: non-whitespace runs (regexp '\\S+').
+- word shingles: n-gram joins of consecutive tokens.
+- minhash_signatures: k independent permutations via salted md5.
+- lsh_candidate_pairs: band the signature (b bands x r rows); docs
+  sharing any band bucket become candidate near-dup pairs.
+- ngram_jaccard: exact Jaccard over distinct shingles for pairs.
+- embedding_topk: brute-force cosine top-k (the exact baseline; an
+  LSH/IVF bucketed variant would reuse lsh_candidate_pairs' shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+TOKEN_RE = r"\S+"
+
+
+def tokens_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, tokens array<string>)."""
+    return docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)).alias("tokens"),
+    )
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-grams per doc. Docs with fewer
+    than n tokens contribute their whole token string as one shingle so
+    short docs still participate in dedup."""
+    t = tokens_df(docs)
+    grams = F.when(
+        F.size("tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tokens") - n),
+            lambda i: F.array_join(F.slice("tokens", i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join("tokens", " ")))
+    return (
+        t.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — MinHash signature; h_i = MIN over shingles
+    of md5(i || '#' || shingle) (lexicographic string min)."""
+    sh = shingles_df(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs (a < b): docs sharing >=1 LSH band.
+
+    Signature split into ``bands`` bands of r = num_hashes/bands rows;
+    band key = md5 of the concatenated band slice. The band self-join is
+    the scale path: buckets, not all-pairs.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    band_rows = []
+    for bnd in range(bands):
+        cols = [F.col(f"h{bnd * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(bnd).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+            )
+        )
+    buckets = band_rows[0]
+    for more in band_rows[1:]:
+        buckets = buckets.unionAll(more)
+    left = buckets.select("band", "bkey", F.col("doc_id").alias("a"))
+    right = buckets.select("band", "bkey", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+    """(a, b, jaccard) — exact shingle-set Jaccard for the given pairs."""
+    sh = shingles_df(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    out = (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(za, "a")
+        .join(zb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (
+                    F.col("sza") + F.col("szb")
+                    - F.coalesce(F.col("i"), F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_topk(
+    embeddings: DataFrame, query_mod: int = 100, k: int = 5
+) -> DataFrame:
+    """(q, neighbor, sim) — brute-force cosine top-k per query vector.
+
+    Queries = vec_id % query_mod == 0 (deterministic subset); sim
+    rounded to 4 dp; rank by (sim desc, neighbor asc) for a
+    deterministic result. This is the exact baseline; the bucketed LSH
+    variant reuses lsh_candidate_pairs' band-join shape at scale.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    norm = e.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    ).persist()
+    q = norm.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    sims = (
+        q.crossJoin(norm.select(F.col("vec_id").alias("neighbor"), "v", "nrm"))
+        .where(F.col("q") != F.col("neighbor"))
+        .select(
+            "q",
+            "neighbor",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q").orderBy(F.col("sim").desc(), F.col("neighbor").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q", "neighbor", "sim")
+    )

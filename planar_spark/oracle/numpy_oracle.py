@@ -117,6 +117,72 @@ def oracle_triangle_count(edges: np.ndarray) -> int:
     return count
 
 
+def oracle_msf(edges: np.ndarray) -> set[tuple[int, int]]:
+    """Kruskal on canonical (a, b) a<b edges with lexicographic (a, b)
+    weights — the unique MSF under the engine's weight proxy."""
+    und = np.unique(np.sort(_dedupe(edges), axis=1), axis=0)
+    order = np.lexsort((und[:, 1], und[:, 0]))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out: set[tuple[int, int]] = set()
+    for idx in order:
+        a, b = int(und[idx, 0]), int(und[idx, 1])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.add((a, b))
+    return out
+
+
+def oracle_coloring(edges: np.ndarray, num_vertices: int) -> np.ndarray:
+    """Sequential greedy coloring in DESCENDING (prio, vid) order, with
+    prio(v) = (v * 2654435761) mod 2^32 — equals the engine's
+    Jones-Plassmann result exactly."""
+    und = np.unique(np.sort(_dedupe(edges), axis=1), axis=0)
+    nbrs: list[set[int]] = [set() for _ in range(num_vertices)]
+    for a, b in und:
+        nbrs[int(a)].add(int(b))
+        nbrs[int(b)].add(int(a))
+    color = np.full(num_vertices, -1, dtype=np.int64)
+    order = sorted(
+        range(num_vertices),
+        key=lambda v: ((v * 2654435761) % 2**32, v),
+        reverse=True,
+    )
+    for v in order:
+        used = {int(color[u]) for u in nbrs[v] if color[u] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return color
+
+
+def oracle_gnn_forward(
+    edges: np.ndarray,
+    features: np.ndarray,
+    weights: list[np.ndarray],
+) -> np.ndarray:
+    """k layers: h' = relu(W · mean(self + out-neighbors))."""
+    n = features.shape[0]
+    e = _dedupe(edges, drop_self_loops=True)
+    h = features.astype(np.float64)
+    out_deg = np.bincount(e[:, 0], minlength=n)
+    for w in weights:
+        s = h.copy()
+        np.add.at(s, e[:, 0], h[e[:, 1]])
+        mean = s / (out_deg + 1)[:, None]
+        h = np.maximum(mean @ w.T, 0.0)
+    return h
+
+
 def oracle_sssp(
     edges: np.ndarray, num_vertices: int, source: int
 ) -> np.ndarray:

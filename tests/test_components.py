@@ -52,6 +52,17 @@ def test_components_exact(spark, config, name, edges, n):
     assert (got == want).all()
 
 
+def test_components_with_contraction(spark, config):
+    """Contract work-shrink (reference's MapAndMutateEdgeBool) preserves
+    exact labels."""
+    edges = edges_powerlaw(300, m=3, seed=42)
+    g = graph_from_numpy(spark, edges, 300)
+    result = connected_components(g, config, contract=True)
+    assert result.converged
+    got = _labels_array(result, 300)
+    assert (got == oracle_components(edges, 300)).all()
+
+
 def test_components_without_pointer_jumping(spark, config):
     edges, n = edges_two_cliques(5, n_isolated=2)
     g = graph_from_numpy(spark, edges, n)

@@ -1,0 +1,105 @@
+"""textops (minhash/LSH/jaccard/topk) units + multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from planar_spark.ingest.multimodal import (
+    extract_media_features,
+    synth_media_df,
+    _fake_decode,
+)
+from planar_spark.kernels.textops import (
+    embedding_topk,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    shingles_df,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "completely different text with no overlap at all", "en"),
+        (3, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (4, "tiny", "en"),  # < n tokens
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+
+
+def test_shingles(spark, docs):
+    sh = {
+        (r["doc_id"], r["shingle"])
+        for r in shingles_df(docs, n=3).collect()
+        if r["doc_id"] in (0, 4)
+    }
+    assert ("0", "the quick brown") not in sh  # doc_id stays long
+    assert (0, "the quick brown") in sh
+    assert (0, "over the lazy") in sh
+    assert (4, "tiny") in sh  # short doc -> whole text shingle
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    pairs = {
+        (r["a"], r["b"]) for r in lsh_candidate_pairs(docs, n=3).collect()
+    }
+    assert (0, 3) in pairs  # exact dup always shares every band
+    assert all(2 not in p for p in pairs)  # no-overlap doc never pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 3)], schema="a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard(docs, pairs, n=3).collect()
+    }
+    assert got[(0, 3)] == 1.0
+    # doc0/doc1: 9 tokens -> 7 shingles each, 6 shared -> 6/8
+    assert got[(0, 1)] == pytest.approx(6 / 8, abs=1e-9)
+
+
+def test_embedding_topk_brute_force(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        schema="vec_id long, embedding array<float>",
+    )
+    out = embedding_topk(emb, query_mod=10, k=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["q"], []).append(r["neighbor"])
+    # numpy ground truth
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for q in (0, 10, 20, 30):
+        sims = (v @ v[q]) / (norms * norms[q])
+        sims[q] = -np.inf
+        order = sorted(
+            range(40), key=lambda i: (-round(sims[i], 4), i)
+        )[:3]
+        assert got[q] == order
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media_df(spark, 32)
+    feats = extract_media_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic: same payload -> same feature
+    one = [r for r in rows if r["url"].endswith("/0.png")][0]
+    payload = media.where(F.col("url") == one["url"]).collect()[0]["payload"]
+    assert np.allclose(one["feature"], _fake_decode(bytes(payload)), atol=1e-6)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = synth_media_df(spark, 4)
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        extract_media_features(media, fake=False).collect()

@@ -69,7 +69,14 @@ def main() -> None:
             g.write(args.save_graph)
 
     def engine(name: str) -> SuperstepEngine:
-        return SuperstepEngine(spark, cfg, name, run_id=args.run_id)
+        return SuperstepEngine(
+            spark, cfg, name, run_id=args.run_id,
+            lineage={
+                "input": args.graph or args.pages,
+                "num_vertices": g.num_vertices,
+                "num_edges": g.num_edges,
+            },
+        )
 
     if args.kernel == "pagerank":
         r = pagerank(g, cfg, num_iterations=args.iterations,

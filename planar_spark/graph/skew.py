@@ -71,7 +71,8 @@ def salted_gather_join(
     )
     # Replicate only the (tiny) hub slice of the state across all salts.
     s_hub = state.join(F.broadcast(hubs), "vid", "left_semi").withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).cast("int")
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(k - 1).cast("int"))),
     )
     s_rest = state.join(F.broadcast(hubs), "vid", "left_anti").withColumn(
         "_salt", F.lit(0).cast("int")

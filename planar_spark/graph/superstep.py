@@ -56,11 +56,19 @@ class SuperstepEngine:
         config: EngineConfig,
         kernel: str,
         run_id: str | None = None,
+        lineage: dict | None = None,
     ):
         self.spark = spark
         self.config = config
         self.kernel = kernel
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        # Run lineage recorded in every superstep meta: inputs, graph
+        # stats, engine config — enough to reproduce the run from the
+        # checkpoint alone (north-rule: per-partition state + lineage +
+        # convergence metrics per superstep).
+        self.lineage = dict(lineage or {})
+        self.lineage.setdefault("damping", config.damping)
+        self.lineage.setdefault("num_partitions", config.num_partitions)
         self._ckpt_root = (
             os.path.join(config.checkpoint_dir, kernel, self.run_id)
             if config.checkpoint_dir
@@ -97,6 +105,7 @@ class SuperstepEngine:
             "kernel": self.kernel,
             "superstep": step,
             "metrics": metrics,
+            "lineage": self.lineage,
             "wall_ts": time.time(),
             "completed": True,
         }

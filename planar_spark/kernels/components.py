@@ -99,18 +99,30 @@ def connected_components(
             )
         return new, {}
 
+    # Convergence via the label-sum invariant: hash-min labels only ever
+    # DECREASE, so sum(label) is strictly decreasing until the fixpoint
+    # — one cheap aggregate per superstep instead of a join + count
+    # (the reference's analogue is the active counter,
+    # bsp_update_store.h:111-125).
+    prev_sum = {"v": None}
+
     def post(old: DataFrame, new: DataFrame, _step: int) -> dict:
-        changed = (
-            new.join(old.select("vid", F.col("label").alias("old_label")), "vid")
-            .where(F.col("label") != F.col("old_label"))
-            .count()
-        )
-        return {"changed": int(changed)}
+        s = new.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        out = {
+            "label_sum": int(s),
+            "converged": prev_sum["v"] is not None and s == prev_sum["v"],
+        }
+        prev_sum["v"] = s
+        return out
 
     def converged(metrics: dict) -> bool:
-        return metrics.get("changed", -1) == 0
+        return bool(metrics.get("converged"))
 
-    engine = engine or SuperstepEngine(spark, config, "connected_components")
+    engine = engine or SuperstepEngine(
+        spark, config, "connected_components",
+        lineage={"num_vertices": graph.num_vertices,
+                 "num_edges": graph.num_edges},
+    )
     result = engine.run(
         init_state, step, max_iterations, converged, post_fn=post, resume=resume
     )

@@ -70,7 +70,11 @@ def label_propagation(
         )
         return {"changed": int(changed)}
 
-    engine = engine or SuperstepEngine(spark, config, "lpa")
+    engine = engine or SuperstepEngine(
+        spark, config, "lpa",
+        lineage={"num_vertices": graph.num_vertices,
+                 "num_edges": graph.num_edges, "rounds": iters},
+    )
     result = engine.run(init_state, step, iters, None, post_fn=post, resume=resume)
     sym.unpersist()
     return result

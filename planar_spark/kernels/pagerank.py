@@ -110,7 +110,10 @@ def pagerank(
             and metrics.get("l1_delta", float("inf")) < config.tolerance
         )
 
-    engine = engine or SuperstepEngine(spark, config, "pagerank")
+    engine = engine or SuperstepEngine(
+        spark, config, "pagerank",
+        lineage={"num_vertices": n, "num_edges": graph.num_edges},
+    )
     return engine.run(
         init_state, step, iters, converged, post_fn=post, resume=resume
     )

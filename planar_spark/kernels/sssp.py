@@ -70,7 +70,10 @@ def bfs_sssp(
     def converged(metrics: dict) -> bool:
         return metrics.get("frontier_size", -1) == 0
 
-    engine = engine or SuperstepEngine(spark, config, "sssp")
+    engine = engine or SuperstepEngine(
+        spark, config, "sssp",
+        lineage={"source": int(source), "num_edges": graph.num_edges},
+    )
     return engine.run(
         init_state, step, max_iterations, converged, post_fn=post, resume=resume
     )

@@ -1,0 +1,60 @@
+"""Partitioner family: balance + correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from planar_spark.graph.partition import (
+    balanced_range_partition,
+    hash_edge_cut,
+    hash_vertex_cut,
+    partition_edge_histogram,
+    two_d_cut,
+)
+from planar_spark.ingest.pages import edges_powerlaw, edges_star_hub
+
+from tests.conftest import graph_from_numpy
+
+
+def test_hash_cuts_preserve_edges(spark):
+    edges = edges_powerlaw(200, m=3, seed=2)
+    g = graph_from_numpy(spark, edges, 200)
+    for fn in (hash_vertex_cut, hash_edge_cut, two_d_cut):
+        out = fn(g.edges, 4)
+        assert out.count() == g.num_edges
+
+
+def test_balanced_range_partition_beats_naive_ranges(spark):
+    """On a skewed graph, edge-balanced vid ranges must spread the hub's
+    edges far better than equal-vid ranges would."""
+    n = 400
+    edges = edges_star_hub(n)  # vertex 0 carries half of all edges
+    g = graph_from_numpy(spark, edges, n)
+    parted = balanced_range_partition(g.edges, g.degrees, 4)
+    assert parted.count() == g.num_edges
+    hist = partition_edge_histogram(parted)
+    # hub vertex 0 has (n-1) edges = half the total; a naive equal-vid
+    # 4-way split puts ALL of them in partition 0 together with ~1/4 of
+    # the spokes. The balanced split must cap the largest partition near
+    # the hub's own (indivisible) share.
+    assert max(hist) <= (n - 1) + n // 2  # hub share + slack
+    # every edge accounted for
+    assert sum(hist) == g.num_edges
+
+
+def test_balanced_range_partition_uniform_graph(spark):
+    edges = edges_powerlaw(500, m=3, seed=8)
+    g = graph_from_numpy(spark, edges, 500)
+    parted = balanced_range_partition(g.edges, g.degrees, 8)
+    # assert the algorithmic property: per-BUCKET edge counts are even
+    # (physical placement may merge adjacent buckets via range sampling)
+    from pyspark.sql import functions as F
+
+    hist = [
+        r["n"]
+        for r in parted.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert sum(hist) == g.num_edges
+    ideal = g.num_edges / 8
+    assert len(hist) == 8
+    assert max(hist) <= 1.3 * ideal

@@ -46,6 +46,7 @@ from planar_spark.kernels.textops import (
     embedding_topk,
     lsh_candidate_pairs,
     ngram_jaccard,
+    simhash,
 )
 from planar_spark.kernels.triangles import _closed_wedges
 from planar_spark.testdata_graph import V_MOD, derive_edges
@@ -394,6 +395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_topk(emb, query_mod=100, k=5)
 
+    def q_simhash(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash(docs, bits=32)
+
     # --- weak-check queries (no SQL-expressible oracle: iterative with
     # data-dependent round counts / matrix math; driver records
     # rows-only) ---
@@ -440,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "simhash": q_simhash,
         "msf": q_msf,
         "coloring": q_coloring,
         "gnn_forward": q_gnn_forward,
@@ -531,6 +537,24 @@ FROM pairs p
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes za ON za.doc_id = p.a
 JOIN sizes zb ON zb.doc_id = p.b""",
+        "simhash": r"""WITH toks AS MATERIALIZED (
+    SELECT doc_id,
+           UNNEST(list_distinct(regexp_extract_all(text, '\S+'))) AS tok
+    FROM documents
+),
+th AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+    FROM toks
+),
+votes AS MATERIALIZED (
+    SELECT doc_id, u.j, SUM(2 * ((h >> u.j) & 1) - 1) AS s
+    FROM th, UNNEST(generate_series(0, 31)) AS u(j)
+    GROUP BY doc_id, u.j
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id""",
         "embedding_topk": r"""WITH nrm AS MATERIALIZED (
     SELECT vec_id, embedding,
            SQRT(list_aggregate(list_transform(list_zip(embedding, embedding),

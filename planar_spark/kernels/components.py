@@ -17,7 +17,9 @@ DataFrame formulation per superstep:
      sound because labels are always vertex ids; this collapses chains
      exponentially, so rounds = O(log diameter) instead of O(diameter).
 
-Termination: changed-label count == 0 (the reference's active-count,
+Termination: the label-sum invariant — labels only decrease, so an
+unchanged sum(label) between supersteps is a fixpoint proof (one cheap
+aggregate; the reference's analogue is the active-count,
 bsp_update_store.h:111-125).
 """
 

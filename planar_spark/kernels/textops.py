@@ -132,6 +132,44 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
     return out
 
 
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — SimHash fingerprint over distinct tokens.
+
+    Token hash = first 15 hex digits of md5 (60 bits, identical in
+    Spark's conv(.,16,10) and DuckDB's CAST('0x'|| . AS BIGINT), so the
+    oracle matches bit-for-bit). Bit j of the fingerprint is set iff
+    the sum over tokens of ±1 votes from the token hash's bit j is
+    positive.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
+            )
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    t = toks.select("doc_id", h.alias("h"))
+    j = t.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    )
+    votes = j.groupBy("doc_id", "j").agg(
+        F.sum(
+            F.expr("2 * ((h >> j) & 1) - 1")
+        ).alias("s")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -227,6 +227,45 @@ def _sssp_sql() -> str:
     return "\n".join(parts)
 
 
+def _gnn_sql() -> str:
+    """Unrolled 1-layer GNN forward oracle (dim 8, seed 42).
+
+    Mirrors kernels/gnn.py exactly: mean over {self} ∪ {out-neighbors}
+    divided by out_deg + 1, then relu(W · mean); the seeded 8×8 weight
+    matrix is inlined as repr()'d double literals (exact round-trip).
+    """
+    from planar_spark.kernels.gnn import seeded_weights
+
+    w = seeded_weights(8, 1, 42)[0]
+    vals = ",\n      ".join(
+        ", ".join(f"({r}, {c}, {w[r][c]!r})" for c in range(8)) for r in range(8)
+    )
+    return f"""WITH {_EDGES8},
+deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src),
+pos AS (SELECT UNNEST(generate_series(0, 7)) AS p),
+feat AS MATERIALIZED (
+    SELECT v.vid, p.p AS pos,
+           CAST((v.vid * 31 + p.p) % 97 AS DOUBLE) / 97.0 AS val
+    FROM verts v CROSS JOIN pos p
+),
+summed AS MATERIALIZED (
+    SELECT vid, pos, SUM(val) AS s FROM (
+        SELECT vid, pos, val FROM feat
+        UNION ALL
+        SELECT e.src AS vid, f.pos, f.val FROM edges e JOIN feat f ON e.dst = f.vid
+    ) GROUP BY vid, pos
+),
+mean AS MATERIALIZED (
+    SELECT s.vid, s.pos, s.s / (COALESCE(d.outdeg, 0) + 1) AS m
+    FROM summed s LEFT JOIN deg d ON s.vid = d.vid
+),
+w(r, c, wt) AS (VALUES {vals})
+SELECT m.vid, CAST(w.r AS BIGINT) AS pos,
+       ROUND(GREATEST(SUM(w.wt * m.m), 0.0), 6) AS val
+FROM mean m JOIN w ON w.c = m.pos
+GROUP BY m.vid, w.r"""
+
+
 def _random_walk_sql() -> str:
     parts = [
         f"WITH {_EDGES},",
@@ -424,7 +463,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 lambda i: ((F.col("vid") * 31 + i) % 97).cast("double") / 97.0,
             ).alias("vec"),
         )
-        return gnn_forward(g, feats, num_layers=1, dim=dim, config=_cfg())
+        out = gnn_forward(g, feats, num_layers=1, dim=dim, config=_cfg())
+        # Exploded scalar rows (vid, pos, val) so the driver's value
+        # hasher sees sortable scalars, never raw array columns.
+        return out.select("vid", F.posexplode("vec").alias("pos", "val")).select(
+            "vid",
+            F.col("pos").cast("long").alias("pos"),
+            F.round("val", 6).alias("val"),
+        )
 
     return {
         "pagerank": q_pagerank,
@@ -460,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "pagerank": _pagerank_sql(),
+        "gnn_forward": _gnn_sql(),
         "wcc": _wcc_sql(),
         "lpa": _lpa_sql(),
         "triangle_count": tri_base
@@ -508,7 +555,7 @@ FROM documents GROUP BY MD5(text)""",
        CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
 FROM documents""",
         "lang_stats": """SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang""",
         "minhash_lsh_pairs": _MINHASH_CTES
         + """
@@ -553,7 +600,8 @@ votes AS MATERIALIZED (
     GROUP BY doc_id, u.j
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id""",
         "embedding_topk": r"""WITH nrm AS MATERIALIZED (
     SELECT vec_id, embedding,

@@ -266,6 +266,127 @@ FROM mean m JOIN w ON w.c = m.pos
 GROUP BY m.vid, w.r"""
 
 
+COLORING_ORACLE_ROUNDS = 16  # >= measured JP rounds at sf0.01 (13)
+MSF_ORACLE_ROUNDS = 6        # >= measured Boruvka rounds at sf0.01 (4)
+MSF_ORACLE_JUMPS = 6         # pointer-doubling unroll: collapses depth 2^6
+
+
+def _coloring_sql() -> str:
+    """Unrolled deterministic Jones-Plassmann oracle (graph8).
+
+    Mirrors kernels/coloring.py exactly: priority = (vid*2654435761)
+    mod 2^32, ties by vid; a vertex colors itself once all
+    higher-priority neighbors are colored, taking the mex of their
+    colors. Round count sized from the measured sf0.01 round count.
+    """
+    prio = "(({v} * 2654435761) % 4294967296)"
+    pa, pb = prio.format(v="src"), prio.format(v="dst")
+    parts = [
+        f"WITH {_EDGES8},",
+        _UND + ",",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM u"
+        " UNION ALL SELECT b, a FROM u),",
+        "hi AS MATERIALIZED (SELECT src AS vid, dst AS n FROM sym"
+        f" WHERE ({pb} > {pa}) OR (({pb} = {pa}) AND dst > src)),",
+        "c0 AS MATERIALIZED (SELECT vid, CAST(NULL AS BIGINT) AS color FROM verts)",
+    ]
+    for k in range(1, COLORING_ORACLE_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f", td{k} AS (SELECT vid FROM c{p} WHERE color IS NULL)"
+        )
+        parts.append(
+            f", st{k} AS MATERIALIZED (SELECT h.vid, COUNT(*) AS n_higher,"
+            f" COUNT(c.color) AS n_colored"
+            f" FROM hi h JOIN td{k} t ON h.vid = t.vid"
+            f" JOIN c{p} c ON h.n = c.vid GROUP BY h.vid)"
+        )
+        parts.append(
+            f", rd{k} AS (SELECT t.vid, COALESCE(s.n_colored, 0) AS n_colored"
+            f" FROM td{k} t LEFT JOIN st{k} s ON t.vid = s.vid"
+            f" WHERE s.vid IS NULL OR s.n_higher = s.n_colored)"
+        )
+        parts.append(
+            f", mx{k} AS MATERIALIZED (SELECT r.vid, MIN(u2.g) AS color"
+            f" FROM rd{k} r, UNNEST(generate_series(0, r.n_colored)) AS u2(g)"
+            f" WHERE NOT EXISTS (SELECT 1 FROM hi h JOIN c{p} c ON h.n = c.vid"
+            f" WHERE h.vid = r.vid AND c.color = u2.g)"
+            f" GROUP BY r.vid)"
+        )
+        parts.append(
+            f", c{k} AS MATERIALIZED (SELECT c.vid,"
+            f" COALESCE(c.color, m.color) AS color"
+            f" FROM c{p} c LEFT JOIN mx{k} m ON c.vid = m.vid)"
+        )
+    parts.append(f"SELECT vid, color FROM c{COLORING_ORACLE_ROUNDS}")
+    return "\n".join(parts)
+
+
+def _msf_sql() -> str:
+    """Unrolled Boruvka MSF oracle (graph8).
+
+    The MSF under distinct weights is UNIQUE, so the oracle only has to
+    be a correct MSF over the same weights: undirected edge (a, b)
+    (a < b) weighted lexicographically — encoded as the scalar
+    a*100000+b (a, b < 100000 so the encoding is order-preserving).
+    Each round: per-component min incident edge, hook to min label,
+    pointer-double to a fixpoint (unroll sized from measured depth).
+    """
+    enc = "(a * 100000 + b)"
+    parts = [
+        f"WITH {_EDGES8},",
+        _UND + ",",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
+    ]
+    pick_names = []
+    for k in range(1, MSF_ORACLE_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f", lv{k} AS MATERIALIZED (SELECT u.a, u.b,"
+            f" la.label AS ca, lb.label AS cb"
+            f" FROM u JOIN l{p} la ON u.a = la.vid"
+            f" JOIN l{p} lb ON u.b = lb.vid WHERE la.label <> lb.label)"
+        )
+        parts.append(
+            f", pk{k} AS MATERIALIZED (SELECT DISTINCT"
+            f" (w // 100000) AS a, (w % 100000) AS b FROM ("
+            f"SELECT comp, MIN(w) AS w FROM ("
+            f"SELECT ca AS comp, {enc} AS w FROM lv{k}"
+            f" UNION ALL SELECT cb, {enc} FROM lv{k}"
+            f") GROUP BY comp))"
+        )
+        pick_names.append(f"pk{k}")
+        parts.append(
+            f", mg{k} AS MATERIALIZED (SELECT comp, MIN(adopt) AS nl FROM ("
+            f"SELECT la.label AS comp, lb.label AS adopt FROM pk{k} e"
+            f" JOIN l{p} la ON e.a = la.vid JOIN l{p} lb ON e.b = lb.vid"
+            f" UNION ALL"
+            f" SELECT lb.label, la.label FROM pk{k} e"
+            f" JOIN l{p} la ON e.a = la.vid JOIN l{p} lb ON e.b = lb.vid"
+            f") GROUP BY comp)"
+        )
+        parts.append(
+            f", j{k}_0 AS MATERIALIZED (SELECT l.vid,"
+            f" LEAST(l.label, COALESCE(m.nl, l.label)) AS label"
+            f" FROM l{p} l LEFT JOIN mg{k} m ON l.label = m.comp)"
+        )
+        for j in range(1, MSF_ORACLE_JUMPS + 1):
+            parts.append(
+                f", j{k}_{j} AS MATERIALIZED (SELECT c.vid, p2.label"
+                f" FROM j{k}_{j - 1} c JOIN j{k}_{j - 1} p2 ON c.label = p2.vid)"
+            )
+        parts.append(
+            f", l{k} AS MATERIALIZED"
+            f" (SELECT vid, label FROM j{k}_{MSF_ORACLE_JUMPS})"
+        )
+    union = " UNION ".join(f"SELECT a, b FROM {n}" for n in pick_names)
+    parts.append(
+        f"SELECT DISTINCT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b"
+        f" FROM ({union})"
+    )
+    return "\n".join(parts)
+
+
 def _random_walk_sql() -> str:
     parts = [
         f"WITH {_EDGES},",
@@ -438,9 +559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash(docs, bits=32)
 
-    # --- weak-check queries (no SQL-expressible oracle: iterative with
-    # data-dependent round counts / matrix math; driver records
-    # rows-only) ---
     def q_msf(spark, sf_dir):
         from planar_spark.kernels.mst import boruvka_msf
 
@@ -507,6 +625,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(),
         "gnn_forward": _gnn_sql(),
+        "coloring": _coloring_sql(),
+        "msf": _msf_sql(),
         "wcc": _wcc_sql(),
         "lpa": _lpa_sql(),
         "triangle_count": tri_base

@@ -645,9 +645,12 @@ LEFT JOIN (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src) g
 ON v.vid = g.vid""",
         "one_hop_min": f"""WITH {_EDGES}
 SELECT src AS vid, MIN(dst) AS min_nbr FROM edges GROUP BY src""",
-        "two_hop_stats": f"""WITH {_EDGES}
-SELECT e1.src AS vid, MIN(e2.dst) AS min_two_hop, MAX(e2.dst) AS max_two_hop
-FROM edges e1 JOIN edges e2 ON e1.dst = e2.src GROUP BY e1.src""",
+        "two_hop_stats": f"""WITH {_EDGES},
+mid_stats AS MATERIALIZED (
+    SELECT src AS mid, MIN(dst) AS mn, MAX(dst) AS mx FROM edges GROUP BY src
+)
+SELECT e1.src AS vid, MIN(m.mn) AS min_two_hop, MAX(m.mx) AS max_two_hop
+FROM edges e1 JOIN mid_stats m ON e1.dst = m.mid GROUP BY e1.src""",
         "sssp": _sssp_sql(),
         "khop_risk": f"""WITH {_EDGES},
 sv AS (SELECT vid, CASE WHEN vid % 17 = 0 THEN 1 ELSE 0 END AS seed FROM verts),

@@ -14,12 +14,14 @@ wcc_nvme_app.h:48-75) and Coloring's neighbor-vote loop
   structures, so "run R rounds" IS the spec, not a convergence proxy).
 
 Per superstep: one gather join + groupBy(vid, label).count + a
-row_number window partitioned by vid — all JVM-side.
+struct-max argmax aggregate — all JVM-side, no windows (a window
+partitioned by vid would sort a hub's entire neighbor-label multiset
+in one task; the struct-max is partial-aggregated map-side).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from planar_spark.config import EngineConfig
 from planar_spark.graph.superstep import SuperstepEngine, SuperstepResult
@@ -50,11 +52,18 @@ def label_propagation(
             .select(F.col("dst").alias("vid"), "label")
         )
         counts = msgs.groupBy("vid", "label").agg(F.count(F.lit(1)).alias("n"))
-        w = W.partitionBy("vid").orderBy(F.col("n").desc(), F.col("label").asc())
+        # argmax by (count desc, label asc) as a struct-max aggregate:
+        # partial-agg-able (map-side combine), so a hub with millions of
+        # distinct neighbor labels never becomes one sorted window
+        # partition — max(struct(n, -label)) == (max n, tie min label).
         picked = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", F.col("label").alias("new_label"))
+            counts.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(F.col("n"), (-F.col("label")).alias("neg_label"))
+                ).alias("m")
+            )
+            .select("vid", (-F.col("m.neg_label")).alias("new_label"))
         )
         new = (
             labels.join(picked, "vid", "left")

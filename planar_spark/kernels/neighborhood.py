@@ -22,7 +22,7 @@ Reference parity:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from planar_spark.config import EngineConfig
 from planar_spark.graph.tables import GraphTables
@@ -40,15 +40,24 @@ def one_hop_min(graph: GraphTables) -> DataFrame:
 
 
 def two_hop_stats(graph: GraphTables) -> DataFrame:
-    """(vid, min_two_hop, max_two_hop) over directed two-hop paths."""
+    """(vid, min_two_hop, max_two_hop) over directed two-hop paths.
+
+    O(E) decomposition: because only min/max survive, the wedge set is
+    never materialized — pre-aggregate each mid vertex's out-neighbor
+    min/max (one row per mid), then join that O(V)-sized table to the
+    edges and aggregate again. A naive edges⋈edges self-join emits
+    O(Σ in_deg·out_deg) wedge rows, which explodes on hub vertices.
+    """
+    mid_stats = graph.edges.groupBy(F.col("src").alias("mid")).agg(
+        F.min("dst").alias("mn"), F.max("dst").alias("mx")
+    )
     e1 = graph.edges.select(F.col("src").alias("vid"), F.col("dst").alias("mid"))
-    e2 = graph.edges.select(F.col("src").alias("mid"), F.col("dst").alias("two"))
     return (
-        e1.join(e2, "mid")
+        e1.join(mid_stats, "mid")
         .groupBy("vid")
         .agg(
-            F.min("two").alias("min_two_hop"),
-            F.max("two").alias("max_two_hop"),
+            F.min("mn").alias("min_two_hop"),
+            F.max("mx").alias("max_two_hop"),
         )
     )
 
@@ -112,10 +121,19 @@ def random_walk(
             + F.coalesce(F.col("dst"), F.lit(0)) * WALK_H_B
             + F.lit(k) * WALK_H_C
         ) % WALK_H_MOD
-        w = W.partitionBy("start").orderBy(h.asc(), F.col("dst").asc())
+        # argmin by (h asc, dst asc) as a struct-min aggregate instead of
+        # a window: partial-agg-able, so a walk sitting on a hub never
+        # sorts deg(hub) rows in one window partition. ``cur`` rides
+        # along in the struct (constant per start). A start whose cur has
+        # no out-edges yields exactly one row (dst null) — no mixed-null
+        # struct comparisons.
         walks = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("start", F.coalesce("dst", F.col("cur")).alias("cur"))
+            cand.groupBy("start")
+            .agg(
+                F.min(
+                    F.struct(h.alias("h"), F.col("dst"), F.col("cur"))
+                ).alias("m")
+            )
+            .select("start", F.coalesce("m.dst", F.col("m.cur")).alias("cur"))
         )
     return walks

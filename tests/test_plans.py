@@ -54,6 +54,47 @@ def test_gather_join_is_merge_and_edge_side_unshuffled(spark, config):
     assert "Sort [src" not in edge_branch, plan
 
 
+def test_two_hop_stats_no_wedge_materialization(spark, config):
+    """two_hop_stats must pre-aggregate per-mid min/max BELOW the join —
+    never materialize the O(Σ in_deg·out_deg) wedge set. On this star
+    fixture the wedge count is n² while |E| = 2n."""
+    from planar_spark.kernels.neighborhood import two_hop_stats
+
+    n = 50
+    edges = np.array(
+        [(i, 0) for i in range(1, n + 1)] + [(0, n + i) for i in range(1, n + 1)]
+    )
+    g = graph_from_numpy(spark, edges, 2 * n + 1)
+    out = two_hop_stats(g)
+    rows = {r["vid"]: (r["min_two_hop"], r["max_two_hop"]) for r in out.collect()}
+    assert rows[1] == (n + 1, 2 * n)  # spokes see hub's out-neighbors
+    assert 0 not in rows              # hub's out-neighbors are sinks
+    # Optimized logical plan (no AQE duplication): exactly one join, and
+    # an Aggregate sits BELOW it (the per-mid pre-agg) — children print
+    # after their parent in the tree dump.
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Join ") == 1, opt
+    join_at = opt.index("Join ")
+    assert "Aggregate" in opt[join_at:], opt
+
+
+def test_lpa_and_random_walk_have_no_window(spark, config):
+    """Hot paths must use partial-agg-able struct argmin/argmax, never a
+    per-vertex window sort (a hub's neighbor multiset would land in one
+    window partition)."""
+    from planar_spark.kernels import label_propagation
+    from planar_spark.kernels.neighborhood import random_walk
+
+    edges = edges_powerlaw(300, m=3, seed=2)
+    g = graph_from_numpy(spark, edges, 300)
+    lpa_state = label_propagation(g, config, num_iterations=1).state
+    lpa_state.collect()
+    assert "Window" not in _plan(lpa_state)
+    walks = random_walk(g, config, num_steps=2)
+    walks.collect()
+    assert "Window" not in _plan(walks)
+
+
 def test_parquet_filter_pushdown(spark, tmp_path):
     """Filters and projections reach the parquet scan."""
     import pandas as pd

@@ -43,6 +43,7 @@ from planar_spark.kernels.neighborhood import (
 )
 from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 from planar_spark.kernels.textops import (
+    embedding_ann_topk,
     embedding_topk,
     lsh_candidate_pairs,
     ngram_jaccard,
@@ -450,6 +451,57 @@ buckets AS MATERIALIZED (
 )
 
 
+def _ann_sql(
+    n_planes: int = 24, bands: int = 8, dim: int = 64,
+    query_mod: int = 100, k: int = 5,
+) -> str:
+    """Bucketed ANN oracle: the hyperplane components are derived from
+    md5 hex (exactly kernels/textops.py:ann_hyperplanes — both systems
+    divide by powers of two, so the doubles match bit-for-bit)."""
+    r = n_planes // bands
+    return f"""WITH pl AS MATERIALIZED (
+    SELECT i.i AS p, j.j AS d,
+           (CAST(('0x' || substr(md5(i.i || ':' || j.j), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0) * 2.0 - 1.0 AS w
+    FROM UNNEST(generate_series(0, {n_planes - 1})) AS i(i),
+         UNNEST(generate_series(0, {dim - 1})) AS j(j)
+),
+nrm AS MATERIALIZED (
+    SELECT vec_id, embedding,
+           SQRT(list_aggregate(list_transform(list_zip(embedding, embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS nrm
+    FROM embeddings
+),
+dots AS MATERIALIZED (
+    SELECT n.vec_id, pl.p,
+           SUM(CAST(n.embedding[pl.d + 1] AS DOUBLE) * pl.w) AS dot
+    FROM nrm n, pl GROUP BY n.vec_id, pl.p
+),
+bk AS MATERIALIZED (
+    SELECT vec_id, p // {r} AS band,
+           string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY p) AS bkey
+    FROM dots GROUP BY vec_id, p // {r}
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT qb.vec_id AS q, nb.vec_id AS neighbor
+    FROM bk qb JOIN bk nb ON qb.band = nb.band AND qb.bkey = nb.bkey
+    WHERE qb.vec_id % {query_mod} = 0 AND qb.vec_id <> nb.vec_id
+),
+sims AS MATERIALIZED (
+    SELECT c.q, c.neighbor,
+           ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (a.nrm * b.nrm), 4) AS sim
+    FROM cand c JOIN nrm a ON a.vec_id = c.q JOIN nrm b ON b.vec_id = c.neighbor
+)
+SELECT q, neighbor, sim FROM (
+    SELECT q, neighbor, sim,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, neighbor ASC) AS rn
+    FROM sims
+) WHERE rn <= {k}"""
+
+
 # ---------------------------------------------------------------- queries
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -555,6 +607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_topk(emb, query_mod=100, k=5)
 
+    def q_embedding_ann_topk(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_ann_topk(emb, query_mod=100, k=5)
+
     def q_simhash(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash(docs, bits=32)
@@ -609,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "embedding_ann_topk": q_embedding_ann_topk,
         "simhash": q_simhash,
         "msf": q_msf,
         "coloring": q_coloring,
@@ -627,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "gnn_forward": _gnn_sql(),
         "coloring": _coloring_sql(),
         "msf": _msf_sql(),
+        "embedding_ann_topk": _ann_sql(),
         "wcc": _wcc_sql(),
         "lpa": _lpa_sql(),
         "triangle_count": tri_base

@@ -26,6 +26,19 @@ class EngineConfig:
     # as .bin.new each round, nvme/scheduler/scheduler.h:435-442).
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1  # checkpoint every k supersteps (>=1)
+    # How the engine materializes each superstep's state when no parquet
+    # checkpoint is due:
+    # - "localCheckpoint": cut lineage every step (default). Loses the
+    #   state's hash partitioning (LogicalRDD reports
+    #   UnknownPartitioning), so kernels that join the full state by key
+    #   every round pay an O(V) exchange per superstep.
+    # - "cache": persist() the state — InMemoryRelation PRESERVES output
+    #   partitioning, so a vid-partitioned state joins without any
+    #   exchange. Lineage grows one plan level per step; it is truncated
+    #   with a localCheckpoint every ``cache_truncate_every`` steps
+    #   (one amortized re-exchange).
+    state_persist: str = "localCheckpoint"
+    cache_truncate_every: int = 8
 
     # --- partitioning / skew ---
     # Number of hash partitions for edges/state co-partitioning. Should

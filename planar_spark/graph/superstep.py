@@ -86,12 +86,25 @@ class SuperstepEngine:
         return self._ckpt_root is not None and step % every == 0
 
     def _persist_state(self, state: DataFrame, step: int) -> DataFrame:
-        """Materialize the superstep's state and cut lineage."""
+        """Materialize the superstep's state and cut lineage.
+
+        ``state_persist="cache"`` keeps the state in the block cache
+        instead: InMemoryRelation preserves the state's hash
+        partitioning (a localCheckpoint degrades it to
+        UnknownPartitioning), so key-joining kernels avoid an O(V)
+        exchange per superstep. Lineage is still truncated with a
+        localCheckpoint every ``cache_truncate_every`` steps.
+        """
         if self._should_checkpoint(step):
             d = self._step_dir(step)
             state.write.mode("overwrite").parquet(os.path.join(d, "state"))
             return self.spark.read.parquet(os.path.join(d, "state"))
-        out = state.localCheckpoint(eager=True)
+        every = max(1, self.config.cache_truncate_every)
+        if self.config.state_persist == "cache" and (step == 0 or step % every):
+            out = state.persist()
+            out.count()  # eager materialization
+        else:
+            out = state.localCheckpoint(eager=True)
         self._persisted.append(out)
         return out
 

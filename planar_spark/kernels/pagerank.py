@@ -71,27 +71,34 @@ def pagerank(
         contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
             F.sum("w").alias("contrib")
         )
-        # Dangling mass: tiny scalar aggregate over the (cached) previous
-        # state, pulled to the driver and inlined as a literal — cheaper
-        # than a per-superstep broadcast-join build, which is serial and
-        # becomes the Amdahl bottleneck at high parallelism.
-        dm = (
+        # Dangling mass: a 1-row aggregate over the (cached) previous
+        # state, folded INTO the superstep plan as a broadcast nested-
+        # loop join. Keeping it in-plan (vs .collect() + literal) removes
+        # one driver round-trip/job per superstep — exactly the serial
+        # fraction that caps scaling efficiency at high parallelism.
+        dm_df = (
             state.where(F.col("out_deg") == 0)
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
-            .collect()[0]["_dm"]
         )
-        new_state = base.join(contribs, "vid", "left").select(
-            "vid",
-            "out_deg",
-            (
-                F.lit((1.0 - d) / n)
-                + F.lit(d)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
-            ).alias("pr"),
+        new_state = (
+            base.join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dm_df))
+            .select(
+                "vid",
+                "out_deg",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
         )
         # no trailing repartition: the base⋈contribs join already leaves
         # the state hash-partitioned by vid with `parts` partitions
-        return new_state, {"dangling_mass": float(dm)}
+        return new_state, {}
 
     def post(old_state: DataFrame, new_state: DataFrame, _step: int) -> dict:
         if config.tolerance <= 0:

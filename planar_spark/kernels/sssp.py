@@ -6,16 +6,21 @@ neighbors via WriteMin, and only newly-improved vertices join the next
 frontier (active bitmap, sssp_app.cpp:12-24). Unit weights: the
 reference relaxes with +1, so distances are BFS levels.
 
-DataFrame formulation: the state is the set of REACHED vertices
-(vid, dist); the frontier of superstep k is exactly the rows with
-dist == k-1 (BFS invariant), so no separate frontier table needs
-checkpointing. Each superstep:
+DataFrame formulation: state = the FULL vertex table (vid, dist) with
+dist = INF until reached (exactly the reference's dense dist array,
+types.h:43). The frontier of superstep k is the rows with dist == k-1
+(BFS invariant), so no separate frontier table needs checkpointing.
+Each superstep:
 
-    new = frontier ⋈_{vid==src} edges → distinct dst → anti-join state
-    state' = state ∪ new (dist = k)
+    m      = frontier ⋈_{vid==src} edges → distinct dst     (small)
+    state' = state left⋈ m : dist' = k where dist==INF and hit
 
-The frontier is broadcast when small (maybe_broadcast) — the analogue
-of the reference's active-bitmap scan skipping
+Scale shape: the state stays hash-partitioned by vid across rounds
+(localCheckpoint preserves output partitioning), so the per-round
+shuffle is O(|frontier neighborhood|) — only ``m`` is exchanged, never
+the O(V) state (asserted in tests/test_plans.py). The frontier is
+broadcast when small (maybe_broadcast) — the analogue of the
+reference's active-bitmap scan skipping
 (core/apis/planar_app_base.h:167-205).
 """
 
@@ -28,6 +33,8 @@ from planar_spark.graph.skew import maybe_broadcast
 from planar_spark.graph.superstep import SuperstepEngine, SuperstepResult
 from planar_spark.graph.tables import GraphTables
 
+INF = 2**62  # unreached sentinel (reference keeps INF, types.h:43)
+
 
 def bfs_sssp(
     graph: GraphTables,
@@ -37,43 +44,93 @@ def bfs_sssp(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
 ) -> SuperstepResult:
-    """Returns state (vid, dist) over REACHED vertices only."""
+    """Returns state (vid, dist) over ALL vertices; unreached = INF."""
+    import dataclasses
+
     config = config or EngineConfig()
+    # Cache-mode state: the vid-partitioned dist table joins the (small)
+    # newly-reached set each round WITHOUT an O(V) exchange — cached
+    # plans keep their hash partitioning, localCheckpoints do not.
+    config = dataclasses.replace(config, state_persist="cache")
     spark = graph.spark
     parts = config.partitions_for(spark)
     edges = graph.edges
 
     def init_state() -> DataFrame:
-        return spark.createDataFrame(
-            [(int(source), 0)], schema="vid long, dist long"
+        return (
+            graph.vertices.select(
+                "vid",
+                F.when(F.col("vid") == int(source), 0)
+                .otherwise(F.lit(INF))
+                .cast("long")
+                .alias("dist"),
+            )
+            .repartition(parts, "vid")
         )
 
-    last_frontier_size = {"n": 1}
-
-    def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
-        frontier = state.where(F.col("dist") == k - 1).select("vid")
-        frontier = maybe_broadcast(frontier, config, last_frontier_size["n"])
-        new = (
-            edges.join(frontier, edges["src"] == frontier["vid"], "left_semi")
-            .select(F.col("dst").alias("vid"))
-            .distinct()
-            .join(state, "vid", "left_anti")
-            .select("vid", F.lit(k).cast("long").alias("dist"))
-        )
-        return state.unionByName(new).repartition(parts, "vid"), {}
-
-    def post(old: DataFrame, new: DataFrame, k: int) -> dict:
-        n = new.where(F.col("dist") == k).count()
-        last_frontier_size["n"] = int(n)
-        return {"frontier_size": int(n)}
-
-    def converged(metrics: dict) -> bool:
-        return metrics.get("frontier_size", -1) == 0
+    # The frontier is carried as a SEPARATE tiny localCheckpointed leaf,
+    # not re-derived from the state inside step_fn: deriving it there
+    # would make each round's logical plan reference the previous state
+    # twice (left side + frontier), doubling the tree per round —
+    # exponential analyzer cost. With a leaf frontier the state plan
+    # grows one join per round and is truncated every
+    # cache_truncate_every steps.
+    carry: dict = {"frontier": None, "size": 1}
 
     engine = engine or SuperstepEngine(
         spark, config, "sssp",
         lineage={"source": int(source), "num_edges": graph.num_edges},
     )
+    if resume:
+        # Seed the broadcast-size estimate from the checkpoint's metrics:
+        # without this, a resumed mid-expansion BFS would force-broadcast
+        # an arbitrarily large frontier.
+        latest = engine.latest_checkpoint()
+        if latest is not None:
+            carry["size"] = latest[2].get("frontier_size")
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
+        frontier = carry["frontier"]
+        if frontier is None:  # first step of a fresh or resumed run
+            frontier = (
+                state.where(F.col("dist") == k - 1)
+                .select("vid")
+                .localCheckpoint(eager=True)
+            )
+        frontier = maybe_broadcast(frontier, config, carry["size"])
+        m = (
+            edges.join(frontier, edges["src"] == frontier["vid"], "left_semi")
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+            .withColumn("_hit", F.lit(True))
+        )
+        new = state.join(m, "vid", "left").select(
+            "vid",
+            F.when(
+                (F.col("dist") >= INF) & F.col("_hit").isNotNull(), F.lit(k)
+            )
+            .otherwise(F.col("dist"))
+            .cast("long")
+            .alias("dist"),
+        )
+        return new, {}
+
+    def post(old: DataFrame, new: DataFrame, k: int) -> dict:
+        # next round's frontier: the rows set to k this round — a tiny
+        # leaf cut from the (already materialized) new state.
+        frontier = (
+            new.where(F.col("dist") == k)
+            .select("vid")
+            .localCheckpoint(eager=True)
+        )
+        n = frontier.count()
+        carry["frontier"] = frontier
+        carry["size"] = int(n)
+        return {"frontier_size": int(n)}
+
+    def converged(metrics: dict) -> bool:
+        return metrics.get("frontier_size", -1) == 0
+
     return engine.run(
         init_state, step, max_iterations, converged, post_fn=post, resume=resume
     )
@@ -87,5 +144,13 @@ def sssp_with_unreached(
     return (
         graph.vertices.select("vid")
         .join(result_state, "vid", "left")
-        .select("vid", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"))
+        .select(
+            "vid",
+            F.when(
+                F.col("dist").isNull() | (F.col("dist") >= INF), F.lit(-1)
+            )
+            .otherwise(F.col("dist"))
+            .cast("long")
+            .alias("dist"),
+        )
     )

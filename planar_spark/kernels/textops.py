@@ -178,6 +178,106 @@ def _dot(a, b):
     )
 
 
+def ann_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic random hyperplanes shared with the SQL oracle:
+    component (i, j) = (int(md5(f"{i}:{j}")[:15], 16) / 2^60) * 2 - 1
+    — the same md5-hex-to-unit-interval trick DuckDB reproduces exactly
+    (both divisions are by powers of two, so the doubles are identical
+    bit-for-bit across systems)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+             / float(2**60)) * 2.0 - 1.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def embedding_ann_topk(
+    embeddings: DataFrame,
+    query_mod: int = 100,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 24,
+    bands: int = 8,
+) -> DataFrame:
+    """(q, neighbor, sim) — bucketed ANN cosine top-k per query vector.
+
+    The 100 TB-shaped similarity search: sign-bit random-hyperplane LSH
+    (SimHash for cosine) banded exactly like lsh_candidate_pairs —
+    vectors sharing any band bucket become candidates; exact cosine is
+    computed ONLY on candidates, then top-k per query. No all-pairs
+    crossJoin anywhere: the only join is the band-bucket equi-join plus
+    candidate-sized rerank joins. ``embedding_topk`` remains the exact
+    brute-force baseline for recall measurement.
+    """
+    r = n_planes // bands
+    planes = ann_hyperplanes(dim, n_planes)
+    e = embeddings.select("vec_id", F.col("embedding").alias("v"))
+    norm = e.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    bit_cols = [
+        F.when(
+            _dot(F.col("v"), F.array(*[F.lit(x) for x in planes[i]])) >= 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        .alias(f"b{i}")
+        for i in range(n_planes)
+    ]
+    sig = norm.select("vec_id", *bit_cols).persist()
+    band_rows = [
+        sig.select(
+            "vec_id",
+            F.lit(bnd).alias("band"),
+            F.concat_ws("", *[F.col(f"b{bnd * r + j}") for j in range(r)]).alias(
+                "bkey"
+            ),
+        )
+        for bnd in range(bands)
+    ]
+    buckets = band_rows[0]
+    for more in band_rows[1:]:
+        buckets = buckets.unionAll(more)
+    qb = buckets.where(F.col("vec_id") % query_mod == 0).select(
+        "band", "bkey", F.col("vec_id").alias("q")
+    )
+    nb = buckets.select("band", "bkey", F.col("vec_id").alias("neighbor"))
+    cand = (
+        qb.join(nb, ["band", "bkey"])
+        .where(F.col("q") != F.col("neighbor"))
+        .select("q", "neighbor")
+        .distinct()
+    )
+    qv = norm.select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    nv = norm.select(F.col("vec_id").alias("neighbor"), "v", "nrm")
+    sims = (
+        cand.join(qv, "q")
+        .join(nv, "neighbor")
+        .select(
+            "q",
+            "neighbor",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
+            ).alias("sim"),
+        )
+    )
+    # top-k via window is safe here: each window partition holds a
+    # CANDIDATE set (bounded by band-bucket size), never O(N).
+    w = W.partitionBy("q").orderBy(F.col("sim").desc(), F.col("neighbor").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q", "neighbor", "sim")
+    )
+
+
 def embedding_topk(
     embeddings: DataFrame, query_mod: int = 100, k: int = 5
 ) -> DataFrame:

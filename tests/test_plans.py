@@ -95,6 +95,24 @@ def test_lpa_and_random_walk_have_no_window(spark, config):
     assert "Window" not in _plan(walks)
 
 
+def test_sssp_state_not_reshuffled_per_round(spark, config):
+    """Per BFS round the O(V) dist state must stream from cache into the
+    join un-exchanged; only the O(frontier) newly-reached set moves.
+    (Cache-mode state: InMemoryRelation preserves hash partitioning.)"""
+    from planar_spark.kernels.sssp import bfs_sssp
+
+    edges = edges_powerlaw(400, m=3, seed=5)
+    g = graph_from_numpy(spark, edges, 400)
+    r = bfs_sssp(g, 7, config)
+    plan = _plan(r.state)
+    # The last superstep's join: its left (state) branch is the cached
+    # previous state — no Exchange may sit between the join node and the
+    # cache scan. The broadcast build side prints after the state branch.
+    i = plan.index("Join [vid")
+    j = plan.index("TableCacheQueryStage", i)
+    assert "Exchange" not in plan[i:j], plan[i : j + 200]
+
+
 def test_parquet_filter_pushdown(spark, tmp_path):
     """Filters and projections reach the parquet scan."""
     import pandas as pd

@@ -103,3 +103,35 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = synth_media_df(spark, 4)
     with pytest.raises(Exception):  # NotImplementedError inside executor
         extract_media_features(media, fake=False).collect()
+
+
+def test_embedding_ann_topk_recall_and_no_crossjoin(spark):
+    """Bucketed ANN: high recall on clustered vectors, and the plan must
+    contain no cartesian/cross join — candidates come from the
+    band-bucket equi-join only."""
+    from planar_spark.kernels.textops import embedding_ann_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    vecs = np.vstack(
+        [centers[i % 8] + rng.standard_normal(16) * 0.3 for i in range(160)]
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(160)],
+        schema="vec_id long, embedding array<float>",
+    )
+    exact = embedding_topk(emb, query_mod=40, k=3).collect()
+    ann_df = embedding_ann_topk(
+        emb, query_mod=40, k=3, dim=16, n_planes=24, bands=8
+    )
+    ann = ann_df.collect()
+    ex, an = {}, {}
+    for r in exact:
+        ex.setdefault(r["q"], set()).add(r["neighbor"])
+    for r in ann:
+        an.setdefault(r["q"], set()).add(r["neighbor"])
+    hits = sum(len(ex[q] & an.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+    opt = ann_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cross" not in opt and "Cartesian" not in opt, opt

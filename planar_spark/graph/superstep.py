@@ -26,8 +26,6 @@ nvme_update_store.h:138-145). Here:
 
 from __future__ import annotations
 
-import json
-import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -36,6 +34,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from planar_spark.config import EngineConfig
+from planar_spark.storage import TableStore
 
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
 PostFn = Callable[[DataFrame, DataFrame, int], dict]
@@ -69,21 +68,24 @@ class SuperstepEngine:
         self.lineage = dict(lineage or {})
         self.lineage.setdefault("damping", config.damping)
         self.lineage.setdefault("num_partitions", config.num_partitions)
-        self._ckpt_root = (
-            os.path.join(config.checkpoint_dir, kernel, self.run_id)
+        # Checkpoint IO goes through the catalog-aware TableStore:
+        # Iceberg writeTo when a catalog is configured, parquet + atomic
+        # JSON meta markers otherwise (planar_spark/storage.py).
+        self._store = (
+            TableStore(spark, config.checkpoint_dir)
             if config.checkpoint_dir
             else None
         )
+        self._ckpt_prefix = f"{kernel}/{self.run_id}"
         self._persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------- ckpt io
-    def _step_dir(self, step: int) -> str:
-        assert self._ckpt_root is not None
-        return os.path.join(self._ckpt_root, f"step={step:05d}")
+    def _step_name(self, step: int) -> str:
+        return f"{self._ckpt_prefix}/step={step:05d}"
 
     def _should_checkpoint(self, step: int) -> bool:
         every = max(1, self.config.checkpoint_every)
-        return self._ckpt_root is not None and step % every == 0
+        return self._store is not None and step % every == 0
 
     def _persist_state(self, state: DataFrame, step: int) -> DataFrame:
         """Materialize the superstep's state and cut lineage.
@@ -96,9 +98,9 @@ class SuperstepEngine:
         localCheckpoint every ``cache_truncate_every`` steps.
         """
         if self._should_checkpoint(step):
-            d = self._step_dir(step)
-            state.write.mode("overwrite").parquet(os.path.join(d, "state"))
-            return self.spark.read.parquet(os.path.join(d, "state"))
+            name = f"{self._step_name(step)}/state"
+            self._store.write(state, name)
+            return self._store.read(name)
         every = max(1, self.config.cache_truncate_every)
         if self.config.state_persist == "cache" and (step == 0 or step % every):
             out = state.persist()
@@ -109,10 +111,9 @@ class SuperstepEngine:
         return out
 
     def _write_meta(self, step: int, metrics: dict) -> None:
-        """Mark a checkpointed superstep complete (atomic rename)."""
+        """Mark a checkpointed superstep complete (atomic marker)."""
         if not self._should_checkpoint(step):
             return
-        d = self._step_dir(step)
         meta = {
             "run_id": self.run_id,
             "kernel": self.kernel,
@@ -122,32 +123,28 @@ class SuperstepEngine:
             "wall_ts": time.time(),
             "completed": True,
         }
-        tmp = os.path.join(d, "_META.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(d, "_META.json"))
+        self._store.write_meta(self._step_name(step), meta)
 
     def latest_checkpoint(self) -> tuple[int, DataFrame, dict] | None:
         """(step, state, metrics) of the newest COMPLETED superstep, or None.
 
-        A superstep whose state parquet exists but whose _META.json was
-        never renamed in (killed mid-write) is ignored — resume restarts
-        it from the previous completed state.
+        A superstep whose state table exists but whose completion marker
+        was never committed (killed mid-write) is ignored — resume
+        restarts it from the previous completed state.
         """
-        if not self._ckpt_root or not os.path.isdir(self._ckpt_root):
+        if self._store is None:
             return None
         best = None
-        for name in os.listdir(self._ckpt_root):
-            meta_path = os.path.join(self._ckpt_root, name, "_META.json")
-            if name.startswith("step=") and os.path.exists(meta_path):
-                step = int(name.split("=")[1])
+        for name in self._store.list_meta_names(self._ckpt_prefix):
+            tail = name.rsplit("/", 1)[-1]
+            if tail.startswith("step="):
+                step = int(tail.split("=")[1])
                 if best is None or step > best:
                     best = step
         if best is None:
             return None
-        with open(os.path.join(self._step_dir(best), "_META.json")) as f:
-            meta = json.load(f)
-        state = self.spark.read.parquet(os.path.join(self._step_dir(best), "state"))
+        meta = self._store.read_meta(self._step_name(best)) or {}
+        state = self._store.read(f"{self._step_name(best)}/state")
         return best, state, meta.get("metrics", {})
 
     # ------------------------------------------------------------- runner

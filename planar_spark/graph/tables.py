@@ -18,8 +18,6 @@ adjacency is just the co-partitioned edges DataFrame.
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -66,24 +64,30 @@ class GraphTables:
             u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
 
-    # ---- persistence (parquet warehouse; Iceberg when jars present) ----
+    # ---- persistence (catalog-aware: Iceberg writeTo when a catalog is
+    # configured, parquet warehouse fallback — planar_spark/storage.py) ----
     def write(self, path: str, mode: str = "overwrite") -> None:
-        self.edges.write.mode(mode).parquet(os.path.join(path, "edges"))
-        self.vertices.write.mode(mode).parquet(os.path.join(path, "vertices"))
-        self.degrees.write.mode(mode).parquet(os.path.join(path, "degrees"))
-        meta = {"num_vertices": self.num_vertices, "num_edges": self.num_edges}
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        from planar_spark.storage import TableStore
+
+        store = TableStore(self.spark, path)
+        store.write(self.edges, "edges", mode)
+        store.write(self.vertices, "vertices", mode)
+        store.write(self.degrees, "degrees", mode)
+        store.write_meta(
+            "graph",
+            {"num_vertices": self.num_vertices, "num_edges": self.num_edges},
+        )
 
     @classmethod
     def read(cls, spark: SparkSession, path: str) -> "GraphTables":
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
+        from planar_spark.storage import TableStore
+
+        store = TableStore(spark, path)
+        meta = store.read_meta("graph") or {}
         return cls(
-            edges=spark.read.parquet(os.path.join(path, "edges")),
-            vertices=spark.read.parquet(os.path.join(path, "vertices")),
-            degrees=spark.read.parquet(os.path.join(path, "degrees")),
+            edges=store.read("edges"),
+            vertices=store.read("vertices"),
+            degrees=store.read("degrees"),
             num_vertices=meta["num_vertices"],
             num_edges=meta["num_edges"],
         )

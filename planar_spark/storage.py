@@ -1,0 +1,170 @@
+"""Catalog-aware table IO: Iceberg ``writeTo`` when available, parquet
+warehouse fallback.
+
+North-rule parity: the reference deployment stores graph tables and
+per-superstep checkpoints "in Iceberg". This environment ships no
+Iceberg runtime jar (bare pyspark), so the layer activates the
+DataFrameWriterV2 ``writeTo(catalog.namespace.table)`` path only when an
+Iceberg catalog is configured on the session
+(``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``);
+otherwise an equivalent parquet warehouse (one directory per table +
+atomic JSON meta markers) provides the same API. Enabling real Iceberg
+is deploy-time configuration only —
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=<path> ...
+
+— no engine code changes. All callers (GraphTables.write/read, the
+superstep checkpoint) go through this layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def detect_iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the first configured Iceberg catalog on the session, or
+    None. Detection is conf-based (``spark.sql.catalog.<name>`` set to
+    an Iceberg catalog class) so it is safe when no jars are present."""
+    try:
+        items = spark.sparkContext.getConf().getAll()
+    except Exception:  # pragma: no cover - defensive
+        return None
+    for k, v in items:
+        if (
+            k.startswith("spark.sql.catalog.")
+            and k.count(".") == 3
+            and "iceberg" in str(v).lower()
+        ):
+            return k.rsplit(".", 1)[-1]
+    return None
+
+
+def _sanitize(part: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_]", "_", part)
+
+
+@dataclass
+class TableStore:
+    """One logical warehouse: named tables + named JSON meta markers.
+
+    - Iceberg mode (catalog detected): tables live at
+      ``<catalog>.<namespace>.<sanitized name>`` via DataFrameWriterV2;
+      meta markers are appended to a ``<namespace>._meta`` table keyed
+      by name (the marker row IS the commit — Iceberg appends are
+      atomic, mirroring the fallback's atomic rename).
+    - Fallback mode: tables are parquet dirs under ``root``; meta
+      markers are ``<root>/<name>/_META.json`` written via atomic
+      os.replace.
+    """
+
+    spark: SparkSession
+    root: str
+    catalog: str | None = field(default="auto")
+
+    def __post_init__(self) -> None:
+        if self.catalog == "auto":
+            self.catalog = detect_iceberg_catalog(self.spark)
+        self.namespace = _sanitize(self.root.strip("/")) or "planar"
+
+    # ------------------------------------------------------------- tables
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{_sanitize(name)}"
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        if self.catalog:
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+            )
+            writer = df.writeTo(self._ident(name))
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+        else:
+            df.write.mode(mode).parquet(self._path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.parquet(self._path(name))
+
+    # --------------------------------------------------------------- meta
+    def write_meta(self, name: str, meta: dict) -> None:
+        """Atomically mark ``name`` complete with the given metadata."""
+        if self.catalog:
+            row = [(name, json.dumps(meta), float(time.time()))]
+            df = self.spark.createDataFrame(
+                row, schema="name string, meta_json string, wall_ts double"
+            )
+            ident = self._ident("_meta")
+            try:
+                df.writeTo(ident).append()
+            except Exception:
+                df.writeTo(ident).createOrReplace()
+            return
+        d = self._path(name)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "_META.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(d, "_META.json"))
+
+    def read_meta(self, name: str) -> dict | None:
+        if self.catalog:
+            from pyspark.sql import functions as F
+
+            try:
+                rows = (
+                    self.read("_meta")
+                    .where(F.col("name") == name)
+                    .orderBy(F.col("wall_ts").desc())
+                    .limit(1)
+                    .collect()
+                )
+            except Exception:
+                return None
+            return json.loads(rows[0]["meta_json"]) if rows else None
+        p = os.path.join(self._path(name), "_META.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def list_meta_names(self, prefix: str) -> list[str]:
+        """Names of all completed markers under ``prefix``."""
+        if self.catalog:
+            from pyspark.sql import functions as F
+
+            try:
+                rows = (
+                    self.read("_meta")
+                    .where(F.col("name").startswith(prefix))
+                    .select("name")
+                    .distinct()
+                    .collect()
+                )
+            except Exception:
+                return []
+            return [r["name"] for r in rows]
+        base = self._path(prefix)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for entry in os.listdir(base):
+            if os.path.exists(os.path.join(base, entry, "_META.json")):
+                out.append(f"{prefix}/{entry}")
+        return out

@@ -1,0 +1,43 @@
+"""TableStore: catalog detection + parquet-fallback round trips."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from planar_spark.graph.tables import GraphTables
+from planar_spark.ingest.pages import edges_powerlaw
+from planar_spark.storage import TableStore, detect_iceberg_catalog
+
+from tests.conftest import graph_from_numpy
+
+
+def test_no_iceberg_catalog_in_sandbox(spark):
+    # bare pyspark: the layer must fall back to the parquet warehouse
+    assert detect_iceberg_catalog(spark) is None
+
+
+def test_tablestore_roundtrip_and_meta(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(100).selectExpr("id AS vid", "id * 2 AS val")
+    store.write(df, "t1")
+    got = store.read("t1")
+    assert got.count() == 100
+    assert sorted(got.columns) == ["val", "vid"]
+    assert store.read_meta("run/step=00001") is None
+    store.write_meta("run/step=00001", {"superstep": 1, "metrics": {"x": 2}})
+    store.write_meta("run/step=00002", {"superstep": 2})
+    meta = store.read_meta("run/step=00001")
+    assert meta["metrics"]["x"] == 2
+    names = set(store.list_meta_names("run"))
+    assert names == {"run/step=00001", "run/step=00002"}
+
+
+def test_graph_tables_roundtrip_through_store(spark, tmp_path):
+    g = graph_from_numpy(spark, edges_powerlaw(120, m=2, seed=3), 120)
+    path = str(tmp_path / "g")
+    g.write(path)
+    g2 = GraphTables.read(spark, path)
+    assert g2.num_vertices == g.num_vertices
+    assert g2.num_edges == g.num_edges
+    assert g2.edges.count() == g.num_edges
+    assert g2.degrees.count() == g2.num_vertices

@@ -625,6 +625,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return greedy_coloring(_graph8(spark, sf_dir), _cfg())
 
+    def q_multimodal_decode(spark, sf_dir):
+        """Multimodal dataflow over the documents table: opaque binary
+        payload (utf-8 text bytes stand in for image bytes) decoded by
+        the Arrow-batched mapInPandas operator; the deterministic fake
+        decode (md5-byte features) is itself oracle-checked."""
+        from planar_spark.ingest.multimodal import extract_media_features
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        feats = extract_media_features(media, fake=True)
+        return feats.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.posexplode("feature").alias("pos", "val"),
+        ).select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+
     def q_gnn_forward(spark, sf_dir):
         from planar_spark.kernels.gnn import gnn_forward
 
@@ -666,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_topk": q_embedding_ann_topk,
+        "multimodal_decode": q_multimodal_decode,
         "simhash": q_simhash,
         "msf": q_msf,
         "coloring": q_coloring,
@@ -685,6 +708,13 @@ def oracle_sql() -> dict[str, str]:
         "coloring": _coloring_sql(),
         "msf": _msf_sql(),
         "embedding_ann_topk": _ann_sql(),
+        "multimodal_decode": """WITH pos AS (
+    SELECT UNNEST(generate_series(0, 15)) AS p
+)
+SELECT d.doc_id, CAST(pos.p AS BIGINT) AS pos,
+       CAST(('0x' || substr(md5(d.text), 2 * pos.p + 1, 2)) AS INTEGER)
+       / 256.0 AS val
+FROM documents d CROSS JOIN pos""",
         "wcc": _wcc_sql(),
         "lpa": _lpa_sql(),
         "triangle_count": tri_base

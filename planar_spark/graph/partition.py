@@ -51,28 +51,9 @@ def balanced_range_partition(
 
     Returns edges with a ``part`` column, repartitioned by it.
     """
-    spark = edges.sparkSession
-    total = degrees.agg(F.sum("out_deg")).collect()[0][0] or 0
-    if total == 0:
+    bounds = balanced_range_bounds(edges, degrees, num_partitions)
+    if bounds is None:
         return edges.withColumn("part", F.lit(0))
-    target = max(1, total // num_partitions)
-    # prefix sums: cumulative edges up to and including each vid
-    from pyspark.sql import Window as W
-
-    w = W.orderBy("vid").rowsBetween(W.unboundedPreceding, 0)
-    pref = degrees.select(
-        "vid", F.sum("out_deg").over(w).alias("cum")
-    )
-    bounds = (
-        pref.withColumn(
-            "part", F.least(
-                (F.col("cum") / target).cast("long"),
-                F.lit(num_partitions - 1),
-            )
-        )
-        .groupBy("part")
-        .agg(F.min("vid").alias("lo"), F.max("vid").alias("hi"))
-    )
     b = F.broadcast(bounds.select("part", "lo", "hi"))
     out = edges.join(
         b, (edges["src"] >= b["lo"]) & (edges["src"] <= b["hi"]), "left"
@@ -82,6 +63,33 @@ def balanced_range_partition(
     # rangeByRange, not hash: hash(part) % n collides distinct bucket ids
     # into the same physical partition and leaves others empty
     return out.repartitionByRange(num_partitions, "part")
+
+
+def balanced_range_bounds(
+    edges: DataFrame, degrees: DataFrame, num_partitions: int
+) -> DataFrame | None:
+    """(part, lo, hi) contiguous vid ranges with ~equal edge counts, or
+    None for an empty graph. Exposed separately so locality diagnostics
+    can map vertices to their range partition."""
+    total = degrees.agg(F.sum("out_deg")).collect()[0][0] or 0
+    if total == 0:
+        return None
+    target = max(1, total // num_partitions)
+    # prefix sums: cumulative edges up to and including each vid
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("vid").rowsBetween(W.unboundedPreceding, 0)
+    pref = degrees.select("vid", F.sum("out_deg").over(w).alias("cum"))
+    return (
+        pref.withColumn(
+            "part", F.least(
+                (F.col("cum") / target).cast("long"),
+                F.lit(num_partitions - 1),
+            )
+        )
+        .groupBy("part")
+        .agg(F.min("vid").alias("lo"), F.max("vid").alias("hi"))
+    )
 
 
 def partition_edge_histogram(parted: DataFrame) -> list[int]:

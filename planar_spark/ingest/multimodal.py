@@ -31,11 +31,16 @@ FEATURE_DIM = 16
 
 
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for decode+embed: md5-seeded vector."""
+    """Deterministic stand-in for decode+embed: feature j = byte j of
+    md5(payload) / 256. Each value is an exact dyadic rational, so it is
+    identical in float32, float64, and the DuckDB oracle SQL
+    (CAST('0x'||substr(md5(.),2j+1,2) AS INT) / 256.0) — the decode stub
+    itself is cross-system checkable, not just the plumbing."""
     h = hashlib.md5(payload).digest()
-    seed = int.from_bytes(h[:8], "big") % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+    reps = (dim + len(h) - 1) // len(h)
+    return (np.frombuffer(h * reps, dtype=np.uint8)[:dim] / 256.0).astype(
+        np.float32
+    )
 
 
 def decode_image_batch(

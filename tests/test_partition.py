@@ -58,3 +58,64 @@ def test_balanced_range_partition_uniform_graph(spark):
     ideal = g.num_edges / 8
     assert len(hist) == 8
     assert max(hist) <= 1.3 * ideal
+
+
+def test_balanced_range_beats_hash_on_balance_and_locality(spark):
+    """Evidence for the T3/T4-superseded-by-T6 claim (SURVEY §2.4): on
+    the power-law fixture the edge-balanced contiguous-range split must
+    beat hash vertex-cut on BOTH axes the BFS-grown reference
+    partitioners optimize — per-partition edge balance and
+    cross-partition edge fraction (locality). Real web graphs with
+    url-sorted vids have far stronger range locality (same-host links
+    are id-adjacent); preferential attachment gives the fixture only a
+    weak version, so a win here is conservative."""
+    from pyspark.sql import functions as F
+
+    from planar_spark.graph.partition import balanced_range_bounds
+
+    n, P = 2000, 8
+    g = graph_from_numpy(spark, edges_powerlaw(n, m=4, seed=7), n)
+    b = balanced_range_bounds(g.edges, g.degrees, P).collect()
+
+    def assign_range(col):
+        expr = F.lit(P - 1)
+        for r in sorted(b, key=lambda r: -r["part"]):
+            expr = F.when(
+                (F.col(col) >= r["lo"]) & (F.col(col) <= r["hi"]),
+                F.lit(r["part"]),
+            ).otherwise(expr)
+        return expr
+
+    e = g.edges
+
+    def cross_fraction(src_part, dst_part):
+        return (
+            e.select((src_part != dst_part).cast("int").alias("x"))
+            .agg(F.avg("x"))
+            .collect()[0][0]
+        )
+
+    range_cross = cross_fraction(assign_range("src"), assign_range("dst"))
+    hash_cross = cross_fraction(
+        F.pmod(F.xxhash64("src"), F.lit(P)), F.pmod(F.xxhash64("dst"), F.lit(P))
+    )
+    assert range_cross < hash_cross, (range_cross, hash_cross)
+
+    # balance: logical bucket histograms (physical placement can merge
+    # adjacent range buckets via repartitionByRange sampling)
+    parted = balanced_range_partition(g.edges, g.degrees, P)
+    range_hist = [
+        r["n"]
+        for r in parted.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    hash_hist = [
+        r["n"]
+        for r in e.groupBy(F.pmod(F.xxhash64("src"), F.lit(P)).alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    mean = g.num_edges / P
+    assert max(range_hist) / mean <= max(hash_hist) / mean
+    assert max(range_hist) / mean <= 1.1

@@ -40,6 +40,32 @@ StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
 PostFn = Callable[[DataFrame, DataFrame, int], dict]
 
 
+def releaf(df: DataFrame) -> DataFrame:
+    """Rebuild an already-materialized (checkpointed) DataFrame as a
+    fresh LogicalRDD leaf with DEFAULT statistics.
+
+    Why this exists: ``Dataset.localCheckpoint`` copies the child plan's
+    estimated statistics into the new leaf. An iterative kernel whose
+    superstep SELF-JOINS its state (pointer jumping, Boruvka hooks,
+    coloring conflict checks) then SQUARES the ``sizeInBytes`` estimate
+    every round — the estimate becomes a 2^rounds-bit BigInteger and by
+    round ~18 the driver burns seconds per join-planning stats call in
+    BigInteger division (observed in SizeInBytesOnlyStatsPlanVisitor).
+    Re-wrapping the checkpointed RDD in a leaf without inherited stats
+    resets the estimate to the constant default. No data is moved: the
+    RDD is reused as-is.
+    """
+    try:
+        jdf = df._jdf
+        spark = df.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # pragma: no cover — internal API moved/renamed
+        return df
+
+
 @dataclass
 class SuperstepResult:
     state: DataFrame
@@ -106,7 +132,7 @@ class SuperstepEngine:
             out = state.persist()
             out.count()  # eager materialization
         else:
-            out = state.localCheckpoint(eager=True)
+            out = releaf(state.localCheckpoint(eager=True))
         self._persisted.append(out)
         return out
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
 PRIO_MULT = 2654435761  # Knuth's 2^32 golden-ratio multiplier
@@ -54,9 +55,11 @@ def greedy_coloring(
         .repartition(parts, "vid")
         .persist()
     )
-    colored = graph.vertices.select(
-        "vid", F.lit(None).cast("long").alias("color")
-    ).localCheckpoint(eager=True)
+    colored = releaf(
+        graph.vertices.select(
+            "vid", F.lit(None).cast("long").alias("color")
+        ).localCheckpoint(eager=True)
+    )
 
     for _ in range(max_rounds):
         todo = colored.where(F.col("color").isNull()).select("vid")
@@ -91,7 +94,7 @@ def greedy_coloring(
             )
             .select("vid", mex.alias("new_color"))
         )
-        new_colored = (
+        new_colored = releaf(
             colored.join(ready, "vid", "left")
             .select("vid", F.coalesce("color", "new_color").alias("color"))
             .localCheckpoint(eager=True)

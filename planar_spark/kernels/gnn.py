@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
 
@@ -60,7 +61,7 @@ def gnn_forward(
     weights = seeded_weights(dim, num_layers, seed)
     edges = graph.edges
 
-    h = features.repartition(parts, "vid").localCheckpoint(eager=True)
+    h = releaf(features.repartition(parts, "vid").localCheckpoint(eager=True))
     for layer in range(num_layers):
         w = spark.sparkContext.broadcast(weights[layer])
 
@@ -107,9 +108,11 @@ def gnn_forward(
             out = np.maximum(mat @ w.value.T, 0.0)
             return pd.Series(list(out))
 
-        new_h = assembled.select(
-            "vid", matmul_relu(F.col("vec")).alias("vec")
-        ).localCheckpoint(eager=True)
+        new_h = releaf(
+            assembled.select(
+                "vid", matmul_relu(F.col("vec")).alias("vec")
+            ).localCheckpoint(eager=True)
+        )
         h.unpersist()
         h = new_h
     return h

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
 
@@ -40,15 +41,17 @@ def boruvka_msf(
     parts = config.partitions_for(spark)
 
     und = graph.undirected_edges().repartition(parts, "a").persist()
-    labels = graph.vertices.select(
-        "vid", F.col("vid").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = releaf(
+        graph.vertices.select(
+            "vid", F.col("vid").alias("label")
+        ).localCheckpoint(eager=True)
+    )
     forest = None
 
     for _ in range(max_rounds):
         la = labels.select(F.col("vid").alias("a"), F.col("label").alias("ca"))
         lb = labels.select(F.col("vid").alias("b"), F.col("label").alias("cb"))
-        live = (
+        live = releaf(
             und.join(la, "a").join(lb, "b")
             .where(F.col("ca") != F.col("cb"))
             .localCheckpoint(eager=True)
@@ -69,8 +72,9 @@ def boruvka_msf(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        picked = releaf(picked)
         forest = picked if forest is None else forest.unionAll(picked).distinct()
-        forest = forest.localCheckpoint(eager=True)
+        forest = releaf(forest.localCheckpoint(eager=True))
         # Graft: across picked edges, both endpoints' components adopt
         # the min of the two labels.
         pa = picked.join(la, "a").join(lb, "b")
@@ -93,12 +97,12 @@ def boruvka_msf(
         # PointJump to a fixpoint: every merged cluster must end the
         # round under ONE label, or a stale label could re-pick an
         # intra-cluster edge next round and close a cycle.
-        labels = labels.localCheckpoint(eager=True)
+        labels = releaf(labels.localCheckpoint(eager=True))
         for _ in range(16):
             parent = labels.select(
                 F.col("vid").alias("p_vid"), F.col("label").alias("p_label")
             )
-            jumped = (
+            jumped = releaf(
                 labels.join(parent, labels["label"] == parent["p_vid"])
                 .select("vid", F.col("p_label").alias("label"))
                 .localCheckpoint(eager=True)

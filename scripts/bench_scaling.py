@@ -53,9 +53,12 @@ r = pagerank(g, cfg, num_iterations=iters)
 steps = [m["seconds"] for m in r.metrics]
 
 # CPU-intensity probe: codegen'd expression pipeline, no wide exchange —
-# the stable thread-scaling measurement on this host.
+# the stable thread-scaling measurement on this host. 2B rows so the
+# ~0.5s fixed per-job cost (planning + codegen compile + task launch)
+# stays <6% of the job: at 500M rows that constant alone capped the
+# measured efficiency at ~0.8 regardless of actual thread scaling.
 def cpu_job(salt):
-    df = spark.range(0, 500_000_000, 1, cores * 4)
+    df = spark.range(0, 2_000_000_000, 1, cores * 4)
     expr = F.col("id")
     for i in range(8):
         expr = F.xxhash64(expr, F.lit(i + salt))

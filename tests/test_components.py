@@ -125,3 +125,15 @@ def test_triangle_per_vertex(spark, config):
     }
     # triangles {0,1,3} and {1,2,3}: 1 and 3 are in both
     assert rows == {0: 1, 1: 2, 2: 1, 3: 2}
+
+
+def test_components_two_hop_init_exact_and_fewer_steps(spark, config):
+    """O14 two-hop-seeded init: identical labels, fewer supersteps on a
+    long-diameter component."""
+    edges = edges_ring(64)
+    g = graph_from_numpy(spark, edges, 64)
+    base = connected_components(g, config)
+    seeded = connected_components(g, config, two_hop_init=True)
+    assert seeded.converged
+    assert (_labels_array(seeded, 64) == _labels_array(base, 64)).all()
+    assert seeded.steps_run <= base.steps_run

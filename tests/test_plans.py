@@ -130,3 +130,30 @@ def test_parquet_filter_pushdown(spark, tmp_path):
     plan = _plan(df)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
     assert "ReadSchema: struct<doc_id:bigint" in plan, plan
+
+
+def test_releaf_prevents_checkpoint_stats_blowup(spark):
+    """Dataset.localCheckpoint copies the child plan's size estimate
+    into the new leaf; a self-joining superstep then SQUARES sizeInBytes
+    every round until join planning spends seconds in BigInteger math
+    (observed live in SizeInBytesOnlyStatsPlanVisitor at round ~18).
+    releaf() must reset the leaf to default stats."""
+    from planar_spark.graph.superstep import releaf
+
+    df = spark.range(100).selectExpr("id AS vid", "id AS label")
+    state = releaf(df.localCheckpoint(eager=True))
+    for _ in range(6):
+        parent = state.select(
+            F.col("vid").alias("p_vid"), F.col("label").alias("p_label")
+        )
+        state = (
+            state.join(parent, state["label"] == parent["p_vid"])
+            .select("vid", F.col("p_label").alias("label"))
+        )
+        state = releaf(state.localCheckpoint(eager=True))
+    size = int(
+        str(state._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    # without releaf the estimate squares per round (>10^40 by round 6)
+    assert size < 10**25, size
+    assert state.count() == 100

@@ -160,7 +160,7 @@ planar_spark/graph/tables.py). Steady-state = supersteps 3+ (drops JIT
 best-case {eff_best:.3f}** (best-of-steady-state per config; this host
 alternates between fast and slow modes run-to-run, see raw data)
 
-## CPU-intensity probe (codegen'd xxhash64 pipeline, 500M rows)
+## CPU-intensity probe (codegen'd xxhash64 pipeline, 2B rows)
 
 | config | median sec |
 |---|---|

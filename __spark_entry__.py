@@ -43,10 +43,14 @@ from planar_spark.kernels.neighborhood import (
 )
 from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 from planar_spark.kernels.textops import (
+    STOPWORDS,
+    detect_language,
     embedding_ann_topk,
     embedding_topk,
     lsh_candidate_pairs,
+    near_dup_clusters,
     ngram_jaccard,
+    quality_score,
     simhash,
 )
 from planar_spark.kernels.triangles import _closed_wedges
@@ -502,6 +506,109 @@ SELECT q, neighbor, sim FROM (
 ) WHERE rn <= {k}"""
 
 
+def _sql_wordlist(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def _quality_sql() -> str:
+    en = _sql_wordlist("en")
+    return rf"""WITH m AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+           CAST(LEN(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                t -> t IN ({en}))) AS BIGINT) AS n_stop
+    FROM documents
+),
+r AS MATERIALIZED (
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+           ROUND(n_stop / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS stop_ratio
+    FROM m
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio,
+       ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+             + LEAST(stop_ratio * 4.0, 1.0) * 0.4
+             + LEAST(punct_ratio * 20.0, 1.0) * 0.2, 6) AS score
+FROM r"""
+
+
+def _langid_sql() -> str:
+    per = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, '{lang}' AS lang,"
+        f" SUM(CASE WHEN tok IN ({_sql_wordlist(lang)}) THEN 1 ELSE 0 END)"
+        f" AS hits FROM toks GROUP BY doc_id"
+        for lang in sorted(STOPWORDS)
+    )
+    return rf"""WITH toks AS MATERIALIZED (
+    SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS tok
+    FROM documents
+),
+per AS MATERIALIZED (
+{per}
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang
+FROM (
+    SELECT doc_id, lang, hits,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang ASC) AS rn
+    FROM per
+) WHERE rn = 1"""
+
+
+_NEAR_DUP_ROUNDS = 6
+
+
+def _near_dup_sql(threshold: float = 0.5) -> str:
+    parts = [
+        _MINHASH_CTES,
+        r""", pairs AS MATERIALIZED (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM buckets l JOIN buckets r ON l.band = r.band AND l.bkey = r.bkey
+    WHERE l.doc_id < r.doc_id
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+    SELECT p.a, p.b, COUNT(*) AS i
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.a
+    JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+    GROUP BY p.a, p.b
+),
+e AS MATERIALIZED (
+    SELECT p.a, p.b
+    FROM pairs p
+    LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    JOIN sizes za ON za.doc_id = p.a
+    JOIN sizes zb ON zb.doc_id = p.b
+    WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) >= """
+        + repr(threshold)
+        + """
+),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+                     UNION ALL SELECT b, a FROM e),
+l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM documents)""",
+    ]
+    for k in range(1, _NEAR_DUP_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f", m{k} AS MATERIALIZED (SELECT s.dst AS doc_id, MIN(l.label) AS ml"
+            f" FROM sym s JOIN l{p} l ON s.src = l.doc_id GROUP BY s.dst)"
+        )
+        parts.append(
+            f", l{k} AS MATERIALIZED (SELECT l.doc_id,"
+            f" LEAST(l.label, COALESCE(m.ml, l.label)) AS label"
+            f" FROM l{p} l LEFT JOIN m{k} m ON l.doc_id = m.doc_id)"
+        )
+    parts.append(
+        f"SELECT doc_id, label AS canonical_id FROM l{_NEAR_DUP_ROUNDS}"
+    )
+    return "\n".join(parts)
+
+
 # ---------------------------------------------------------------- queries
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -611,6 +718,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_ann_topk(emb, query_mod=100, k=5)
 
+    def q_quality_score(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return quality_score(docs)
+
+    def q_detect_language(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return detect_language(docs)
+
+    def q_dedup_near_clusters(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return near_dup_clusters(docs)
+
     def q_simhash(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash(docs, bits=32)
@@ -689,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_topk": q_embedding_ann_topk,
         "multimodal_decode": q_multimodal_decode,
+        "quality_score": q_quality_score,
+        "detect_language": q_detect_language,
+        "dedup_near_clusters": q_dedup_near_clusters,
         "simhash": q_simhash,
         "msf": q_msf,
         "coloring": q_coloring,
@@ -708,6 +830,9 @@ def oracle_sql() -> dict[str, str]:
         "coloring": _coloring_sql(),
         "msf": _msf_sql(),
         "embedding_ann_topk": _ann_sql(),
+        "quality_score": _quality_sql(),
+        "detect_language": _langid_sql(),
+        "dedup_near_clusters": _near_dup_sql(),
         "multimodal_decode": """WITH pos AS (
     SELECT UNNEST(generate_series(0, 15)) AS p
 )

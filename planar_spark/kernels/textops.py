@@ -315,3 +315,134 @@ def embedding_topk(
         .where(F.col("rn") <= k)
         .select("q", "neighbor", "sim")
     )
+
+
+# ------------------------------------------------------------------ text
+# analysis operators: quality scoring + n-gram/stopword language ID.
+# Both fully deterministic and DuckDB-oracle-checkable.
+
+STOPWORDS = {
+    "en": ["the", "a", "an", "of", "and", "in", "to", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "y", "de", "que"],
+}
+PUNCT_RE = r"[.,!?;:]"
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, score) —
+    cheap corpus-hygiene heuristics: punctuation density, English
+    stopword fraction, and a blended score in [0, 1]. All ratios are
+    rounded to 6 dp for cross-system hashing."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_tokens = F.size(
+        F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(PUNCT_RE), F.lit(0))
+    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast(
+        "long"
+    )
+    punct_ratio = F.round(
+        n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 6
+    )
+    stop_ratio = F.round(
+        n_stop / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
+    )
+    # blended score: long-enough docs with natural punctuation and
+    # stopword density score high; degenerate blobs score low
+    score = F.round(
+        F.least(n_tokens.cast("double") / 20.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.4
+        + F.least(punct_ratio * 20.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("score"),
+    )
+
+
+def detect_language(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — stopword-list language ID: the language
+    whose stopword list covers the largest fraction of the doc's tokens
+    (ties broken alphabetically; zero hits -> 'und')."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.col("text")), r"\s+")
+        ).alias("tok"),
+    )
+    per_lang = None
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array([F.lit(w) for w in words])
+        scored = toks.groupBy("doc_id").agg(
+            F.sum(F.array_contains(arr, F.col("tok")).cast("long")).alias("hits")
+        ).select("doc_id", F.lit(lang).alias("lang"), "hits")
+        per_lang = scored if per_lang is None else per_lang.unionAll(scored)
+    # argmax by (hits desc, lang asc) as a struct-min — no window
+    best = (
+        per_lang.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("hits")).alias("nh"), F.col("lang"))
+            ).alias("m"),
+            F.max("hits").alias("max_hits"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("max_hits") > 0, F.col("m.lang"))
+            .otherwise(F.lit("und"))
+            .alias("pred_lang"),
+        )
+    )
+    return best
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """(doc_id, canonical_id) — end-to-end near-dup dedup: LSH candidate
+    pairs, exact Jaccard filter at ``threshold``, then connected
+    components of the pair graph via bounded hash-min label exchange
+    (near-dup clusters are near-cliques, so their diameter is tiny and
+    a fixed small round count is exact). canonical_id = min doc_id in
+    the cluster; unclustered docs are their own canonical."""
+    from planar_spark.graph.superstep import releaf
+
+    pairs = lsh_candidate_pairs(docs, n, num_hashes, bands)
+    sims = ngram_jaccard(docs, pairs, n)
+    # materialize the (tiny) pair-graph edge list once so the 6-round
+    # label loop references a leaf, not the whole LSH/Jaccard tree
+    edges = releaf(
+        sims.where(F.col("jaccard") >= threshold)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_rounds):
+        msgs = sym.join(labels, sym["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        mins = msgs.groupBy("doc_id").agg(F.min("label").alias("ml"))
+        labels = labels.join(mins, "doc_id", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("ml", F.col("label"))).alias("label"),
+        )
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))

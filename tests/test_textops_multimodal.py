@@ -135,3 +135,28 @@ def test_embedding_ann_topk_recall_and_no_crossjoin(spark):
     assert hits / total >= 0.8, f"recall {hits}/{total}"
     opt = ann_df._jdf.queryExecution().optimizedPlan().toString()
     assert "Cross" not in opt and "Cartesian" not in opt, opt
+
+
+def test_quality_langid_and_near_dup_clusters(spark, docs):
+    from planar_spark.kernels.textops import (
+        detect_language,
+        near_dup_clusters,
+        quality_score,
+    )
+
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stop_ratio"] > 0  # 'the' twice + 'over'
+    assert 0.0 <= q[4]["score"] <= 1.0
+
+    langs = {r["doc_id"]: r["pred_lang"] for r in detect_language(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "und"  # 'tiny' hits no stopword list
+
+    clusters = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(docs, threshold=0.5).collect()
+    }
+    assert clusters[3] == 0          # exact dup joins doc 0's cluster
+    assert clusters[1] == 0          # near dup (jaccard 0.75) too
+    assert clusters[2] == 2          # unique doc is its own canonical

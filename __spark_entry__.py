@@ -626,7 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_wcc(spark, sf_dir):
         g = _graph8(spark, sf_dir)
-        r = connected_components(g, _cfg())
+        # two-hop-seeded init (O14): fewer supersteps, identical labels
+        r = connected_components(g, _cfg(), two_hop_init=True)
         return r.state.select("vid", "label")
 
     def q_lpa(spark, sf_dir):

@@ -79,7 +79,7 @@ def main() -> None:
     pr = timed(
         "pagerank", lambda: pagerank(g, cfg, num_iterations=PR_ITERS)
     )
-    timed("wcc", lambda: connected_components(g, cfg))
+    timed("wcc", lambda: connected_components(g, cfg, two_hop_init=True))
     timed(
         "lpa", lambda: label_propagation(g, cfg, num_iterations=LPA_ROUNDS)
     )

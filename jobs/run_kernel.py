@@ -32,7 +32,10 @@ from planar_spark.kernels import (
 )
 from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 
-KERNELS = ("pagerank", "wcc", "lpa", "triangles", "sssp")
+KERNELS = (
+    "pagerank", "wcc", "lpa", "triangles", "sssp",
+    "msf", "coloring", "khop", "randomwalk",
+)
 
 
 def main() -> None:
@@ -92,6 +95,22 @@ def main() -> None:
         out, meta = r.state, r
     elif args.kernel == "triangles":
         out, meta = triangle_count_per_vertex(g, cfg), None
+    elif args.kernel == "msf":
+        from planar_spark.kernels.mst import boruvka_msf
+
+        out, meta = boruvka_msf(g, cfg), None
+    elif args.kernel == "coloring":
+        from planar_spark.kernels.coloring import greedy_coloring
+
+        out, meta = greedy_coloring(g, cfg), None
+    elif args.kernel == "khop":
+        from planar_spark.kernels.neighborhood import khop_risk
+
+        out, meta = khop_risk(g), None
+    elif args.kernel == "randomwalk":
+        from planar_spark.kernels.neighborhood import random_walk
+
+        out, meta = random_walk(g, cfg, num_steps=args.iterations or 4), None
     else:  # sssp
         r = bfs_sssp(g, args.source, cfg, engine=engine("sssp"),
                      resume=args.resume)

@@ -34,6 +34,7 @@ def label_propagation(
     num_iterations: int | None = None,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    track_changes: bool = False,
 ) -> SuperstepResult:
     """Returns state (vid, label) after exactly ``num_iterations`` rounds."""
     config = config or EngineConfig()
@@ -72,6 +73,12 @@ def label_propagation(
         return new, {}
 
     def post(old: DataFrame, new: DataFrame, _step: int) -> dict:
+        # LPA runs a FIXED round count (synchronous LPA can 2-cycle, so
+        # convergence is not a stopping rule here) — the changed-count
+        # is reporting only. Skip its per-round join+count job unless
+        # the caller asked for it: one fewer driver barrier per round.
+        if not track_changes:
+            return {}
         changed = (
             new.join(old.select("vid", F.col("label").alias("old_label")), "vid")
             .where(F.col("label") != F.col("old_label"))

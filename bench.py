@@ -92,6 +92,36 @@ def main() -> None:
     )
     timed("two_hop_stats", lambda: two_hop_stats(g).count())
 
+    # Data-pipeline extras: reported separately so the headline metric
+    # stays comparable across rounds.
+    extras: dict[str, float] = {}
+
+    def timed_extra(name, fn):
+        t0 = time.time()
+        fn()
+        extras[name] = round(time.time() - t0, 3)
+
+    try:
+        from planar_spark.kernels.textops import (
+            embedding_ann_topk,
+            lsh_candidate_pairs,
+            near_dup_clusters,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        timed_extra(
+            "minhash_lsh_pairs", lambda: lsh_candidate_pairs(docs).count()
+        )
+        timed_extra(
+            "near_dup_clusters", lambda: near_dup_clusters(docs).count()
+        )
+        timed_extra(
+            "embedding_ann_topk", lambda: embedding_ann_topk(emb).count()
+        )
+    except Exception:
+        pass
+
     total = round(sum(timings.values()), 3)
     pr_sec = timings["pagerank"]
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -107,6 +137,7 @@ def main() -> None:
         "pagerank_supersteps": pr.steps_run,
         "pagerank_edges_per_sec": round(g.num_edges * pr.steps_run / pr_sec),
         "pagerank_supersteps_per_hour": round(3600.0 * pr.steps_run / pr_sec, 1),
+        "extras": extras,
     }
     print(json.dumps(out))
     spark.stop()

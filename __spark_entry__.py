@@ -271,9 +271,38 @@ FROM mean m JOIN w ON w.c = m.pos
 GROUP BY m.vid, w.r"""
 
 
+KCORE_K = 16
+KCORE_ORACLE_ROUNDS = 20     # >= measured peeling rounds (4 at sf0.001, 2 at sf0.01)
 COLORING_ORACLE_ROUNDS = 16  # >= measured JP rounds at sf0.01 (13)
 MSF_ORACLE_ROUNDS = 6        # >= measured Boruvka rounds at sf0.01 (4)
 MSF_ORACLE_JUMPS = 6         # pointer-doubling unroll: collapses depth 2^6
+
+
+def _kcore_sql() -> str:
+    """Unrolled degree-peeling oracle for the k-core (k = KCORE_K).
+
+    Over-unrolling past the fixpoint is a no-op, so the round count only
+    needs to exceed the measured peeling depth."""
+    parts = [
+        f"WITH {_EDGES},",
+        _UND + ",",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM u"
+        " UNION ALL SELECT b, a FROM u),",
+        "a0 AS MATERIALIZED (SELECT vid FROM verts)",
+    ]
+    for r in range(1, KCORE_ORACLE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f", a{r} AS MATERIALIZED (SELECT s.src AS vid FROM sym s"
+            f" JOIN a{p} x ON s.src = x.vid JOIN a{p} y ON s.dst = y.vid"
+            f" GROUP BY s.src HAVING COUNT(*) >= {KCORE_K})"
+        )
+    parts.append(
+        f"SELECT v.vid, CAST(CASE WHEN a.vid IS NOT NULL THEN 1 ELSE 0 END"
+        f" AS BIGINT) AS in_core"
+        f" FROM verts v LEFT JOIN a{KCORE_ORACLE_ROUNDS} a ON v.vid = a.vid"
+    )
+    return "\n".join(parts)
 
 
 def _coloring_sql() -> str:
@@ -745,6 +774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return greedy_coloring(_graph8(spark, sf_dir), _cfg())
 
+    def q_kcore(spark, sf_dir):
+        from planar_spark.kernels.kcore import k_core
+
+        return k_core(_graph(spark, sf_dir), k=KCORE_K, config=_cfg())
+
     def q_multimodal_decode(spark, sf_dir):
         """Multimodal dataflow over the documents table: opaque binary
         payload (utf-8 text bytes stand in for image bytes) decoded by
@@ -800,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "khop_risk": q_khop_risk,
         "random_walk": q_random_walk,
+        "kcore": q_kcore,
         "dict_encode": q_dict_encode,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -830,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         "gnn_forward": _gnn_sql(),
         "coloring": _coloring_sql(),
         "msf": _msf_sql(),
+        "kcore": _kcore_sql(),
         "embedding_ann_topk": _ann_sql(),
         "quality_score": _quality_sql(),
         "detect_language": _langid_sql(),

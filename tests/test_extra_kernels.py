@@ -77,3 +77,41 @@ def test_gnn_forward_matches_oracle(spark, config):
     got = np.stack([rows[v] for v in range(n)])
     want = oracle_gnn_forward(edges, feats, seeded_weights(dim, layers, seed=42))
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_k_core_matches_python_peeling(spark, config):
+    """k-core vs a pure-Python reference on the power-law fixture."""
+    from planar_spark.ingest.pages import edges_powerlaw
+    from planar_spark.kernels.kcore import k_core
+
+    k = 4
+    pl = edges_powerlaw(200, m=3, seed=9)
+    # two 8-cliques on fresh vids: degree 7 each -> they survive k=4
+    cliq = [
+        (a, b)
+        for base in (200, 208)
+        for a in range(base, base + 8)
+        for b in range(a + 1, base + 8)
+    ]
+    edges = np.vstack([pl, np.array(cliq)])
+    n = 216
+    g = graph_from_numpy(spark, edges, n)
+    got = {
+        r["vid"]: r["in_core"] for r in k_core(g, k=k, config=config).collect()
+    }
+    # python peeling over the undirected closure
+    und = {(min(a, b), max(a, b)) for a, b in map(tuple, edges) if a != b}
+    alive = set(range(n))
+    while True:
+        deg = {v: 0 for v in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {v for v in alive if deg.get(v, 0) < k}
+        if not drop:
+            break
+        alive -= drop
+    assert 0 < len(alive) < n  # the fixture must exercise real peeling
+    for v in range(n):
+        assert got[v] == (1 if v in alive else 0), v

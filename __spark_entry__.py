@@ -362,11 +362,13 @@ def _msf_sql() -> str:
     The MSF under distinct weights is UNIQUE, so the oracle only has to
     be a correct MSF over the same weights: undirected edge (a, b)
     (a < b) weighted lexicographically — encoded as the scalar
-    a*100000+b (a, b < 100000 so the encoding is order-preserving).
+    a*V_MOD+b, order-preserving because every vid is < V_MOD by
+    construction (derived, not hard-coded, so a changed gate-graph
+    derivation cannot silently corrupt the oracle).
     Each round: per-component min incident edge, hook to min label,
     pointer-double to a fixpoint (unroll sized from measured depth).
     """
-    enc = "(a * 100000 + b)"
+    enc = f"(a * {V_MOD} + b)"
     parts = [
         f"WITH {_EDGES8},",
         _UND + ",",
@@ -383,7 +385,7 @@ def _msf_sql() -> str:
         )
         parts.append(
             f", pk{k} AS MATERIALIZED (SELECT DISTINCT"
-            f" (w // 100000) AS a, (w % 100000) AS b FROM ("
+            f" (w // {V_MOD}) AS a, (w % {V_MOD}) AS b FROM ("
             f"SELECT comp, MIN(w) AS w FROM ("
             f"SELECT ca AS comp, {enc} AS w FROM lv{k}"
             f" UNION ALL SELECT cb, {enc} FROM lv{k}"

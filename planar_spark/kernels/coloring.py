@@ -15,11 +15,21 @@ bound the round count at O(log n) expected (vs O(longest monotone
 path) if vid itself were the priority), and the output equals the
 sequential greedy coloring in descending-priority order — checked
 exactly by the pure-Python oracle.
+
+Scale shape of the mex: counting-based, NEVER a per-vertex
+``collect_set`` of neighbor colors — on a power-law graph a hub with
+10^6 colored higher-priority neighbors would materialize one giant
+array row in a single aggregation buffer. Instead: mex(v) is the min
+g in 0..n_distinct_colors(v) absent among v's neighbor colors, found
+by exploding that (n_distinct+1)-candidate range and anti-joining the
+distinct (vid, neighbor color) pairs — rows stream through ordinary
+shuffles, no wide aggregation state. The per-round uncolored count is
+observed on the state checkpoint job (no standalone count action).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
 from planar_spark.graph.superstep import releaf
@@ -31,6 +41,54 @@ PRIO_MOD = 2**32
 
 def _prio(col):
     return F.pmod(col * F.lit(PRIO_MULT), F.lit(PRIO_MOD))
+
+
+def _round_new_colors(
+    todo: DataFrame, higher: DataFrame, colored: DataFrame
+) -> DataFrame:
+    """One Jones-Plassmann round: (vid, new_color) for every uncolored
+    vertex whose higher-priority neighbors are ALL colored, new_color =
+    mex of those neighbors' colors (counting-based — see module doc)."""
+    nbr = todo.join(higher, "vid").join(
+        colored.select(
+            F.col("vid").alias("n"), F.col("color").alias("ncolor")
+        ),
+        "n",
+    )
+    stats = nbr.groupBy("vid").agg(
+        F.count(F.lit(1)).alias("n_higher"),
+        F.count("ncolor").alias("n_colored"),
+        F.count_distinct("ncolor").alias("n_used"),
+    )
+    # ready = all higher-priority neighbors colored (or none exist)
+    ready = (
+        todo.join(stats, "vid", "left")
+        .where(
+            F.col("n_higher").isNull()
+            | (F.col("n_higher") == F.col("n_colored"))
+        )
+        .select("vid", F.coalesce("n_used", F.lit(0)).alias("n_used"))
+    )
+    # mex via candidate range + anti-join: n_used distinct colors can
+    # block at most n_used of the n_used+1 candidates 0..n_used, so the
+    # min surviving candidate always exists.
+    cand = ready.select(
+        "vid",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_used").cast("long"))
+        ).alias("c"),
+    )
+    used = (
+        nbr.join(ready.select("vid"), "vid", "left_semi")
+        .where(F.col("ncolor").isNotNull())
+        .select("vid", F.col("ncolor").alias("c"))
+        .distinct()
+    )
+    return (
+        cand.join(used, ["vid", "c"], "left_anti")
+        .groupBy("vid")
+        .agg(F.min("c").alias("new_color"))
+    )
 
 
 def greedy_coloring(
@@ -63,45 +121,20 @@ def greedy_coloring(
 
     for _ in range(max_rounds):
         todo = colored.where(F.col("color").isNull()).select("vid")
-        nbr = todo.join(higher, "vid").join(
-            colored.select(
-                F.col("vid").alias("n"), F.col("color").alias("ncolor")
-            ),
-            "n",
-        )
-        stats = nbr.groupBy("vid").agg(
-            F.count(F.lit(1)).alias("n_higher"),
-            F.count("ncolor").alias("n_colored"),
-            F.array_sort(F.collect_set("ncolor")).alias("used"),
-        )
-        mex = F.coalesce(
-            F.filter(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.coalesce(F.size("used"), F.lit(0)).cast("long"),
-                ),
-                lambda x: ~F.array_contains(
-                    F.coalesce("used", F.array().cast("array<long>")), x
-                ),
-            )[0],
-            F.lit(0).cast("long"),
-        )
-        ready = (
-            todo.join(stats, "vid", "left")
-            .where(
-                F.col("n_higher").isNull()
-                | (F.col("n_higher") == F.col("n_colored"))
-            )
-            .select("vid", mex.alias("new_color"))
-        )
+        mex = _round_new_colors(todo, higher, colored)
+        obs = Observation()
         new_colored = releaf(
-            colored.join(ready, "vid", "left")
+            colored.join(mex, "vid", "left")
             .select("vid", F.coalesce("color", "new_color").alias("color"))
+            .observe(
+                obs,
+                F.sum(F.col("color").isNull().cast("long")).alias("n_uncolored"),
+            )
             .localCheckpoint(eager=True)
         )
         colored.unpersist()
         colored = new_colored
-        if colored.where(F.col("color").isNull()).limit(1).count() == 0:
+        if int(obs.get["n_uncolored"] or 0) == 0:
             break
     higher.unpersist()
     return colored

@@ -1,4 +1,4 @@
-"""k-core: iterative degree peeling over the undirected graph.
+"""k-core: frontier-based (delta) degree peeling over the undirected graph.
 
 Not in the reference's app set, but a standard web-graph hygiene /
 community kernel (drop low-connectivity crawl fringe before expensive
@@ -6,18 +6,25 @@ analytics). Semantics: the k-core is the maximal induced subgraph in
 which every vertex has undirected degree >= k; computed by repeatedly
 deleting vertices of degree < k until a fixpoint.
 
-DataFrame round: restrict the symmetric edge set to live vertices (two
-semi-joins against the live set), count degrees, keep deg >= k. The
-live set is a localCheckpoint+releaf leaf per round (see superstep.py's
-stats-blowup note), so per-round plans are constant-size. Rounds are
-bounded by the peeling depth, which is small on web-like graphs.
+Scale shape (delta peeling): only a vertex that LOST a neighbor can
+newly fall below k, so after the single full O(E) degree count of
+round 0, round r>0 touches only the edges incident to round-(r-1)'s
+deletions — the same frontier discipline as SSSP. Each round is two
+jobs: (1) cut the removed-vertex frontier as a leaf (its size observed
+on the same job), (2) decrement surviving degrees by the edges lost to
+the frontier (frontier broadcast when small; per-round shuffle volume
+is O(edges incident to the frontier), never O(E)) and re-materialize
+the state. The state stays hash-partitioned by vid across rounds
+(persist preserves partitioning), so the survivor⋈loss merge is
+exchange-free; lineage is truncated every ``truncate_every`` rounds.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.skew import maybe_broadcast
 from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
@@ -26,37 +33,86 @@ def k_core(
     graph: GraphTables,
     k: int,
     config: EngineConfig | None = None,
-    max_rounds: int = 50,
+    max_rounds: int = 200,
+    truncate_every: int = 8,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """(vid, in_core) over ALL vertices; in_core = 1 iff vid is in the
-    k-core. Deterministic (the k-core is unique)."""
+    k-core. Deterministic (the k-core is unique).
+
+    ``metrics_out`` (optional dict) receives ``rounds``,
+    ``frontier_sizes`` (vertices removed per round) and ``touched``
+    (rows in the per-round degree-decrement aggregate — the actual
+    post-round-0 work volume, asserted O(frontier) in the tests).
+    """
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
     sym = graph.symmetric_edges().repartition(parts, "src").persist()
-    alive = releaf(
-        graph.vertices.select("vid").localCheckpoint(eager=True)
-    )
-    n_alive = alive.count()
-    for _ in range(max_rounds):
-        a_src = alive.select(F.col("vid").alias("src"))
-        a_dst = alive.select(F.col("vid").alias("dst"))
-        deg = (
-            sym.join(a_src, "src", "left_semi")
-            .join(a_dst, "dst", "left_semi")
-            .groupBy(F.col("src").alias("vid"))
-            .agg(F.count(F.lit(1)).alias("deg"))
+    # Round 0: the one full O(E) degree aggregation. The state is
+    # (vid, deg) for vertices with deg >= 1, hash-partitioned by vid
+    # (groupBy output partitioning), kept cached across rounds.
+    state = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+    state.count()
+
+    rounds = 0
+    frontier_sizes: list[int] = []
+    touched: list[int] = []
+    for r in range(max_rounds):
+        obs_f = Observation()
+        removed = releaf(
+            state.where(F.col("deg") < k)
+            .select("vid")
+            .observe(obs_f, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        new_alive = releaf(
-            deg.where(F.col("deg") >= k).select("vid").localCheckpoint(eager=True)
-        )
-        n_new = new_alive.count()
-        alive = new_alive
-        if n_new == n_alive:
+        n_removed = int(obs_f.get["n"])
+        if n_removed == 0:
             break
-        n_alive = n_new
+        rounds += 1
+        frontier_sizes.append(n_removed)
+        # Every (alive src, removed dst) edge decrements src's degree.
+        # The frontier is broadcast when small, so the cached edge table
+        # is scanned in place — shuffle volume is O(frontier edges).
+        rm_dst = removed.select(F.col("vid").alias("dst"))
+        obs_l = Observation()
+        loss = (
+            sym.join(maybe_broadcast(rm_dst, config, n_removed), "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("lost"))
+            .observe(obs_l, F.count(F.lit(1)).alias("touched"))
+        )
+        new_state = (
+            state.where(F.col("deg") >= k)
+            .join(loss, "vid", "left")
+            .select(
+                "vid",
+                (F.col("deg") - F.coalesce("lost", F.lit(0))).alias("deg"),
+            )
+        )
+        if rounds % max(1, truncate_every) == 0:
+            new_state = releaf(
+                new_state.localCheckpoint(eager=True)
+            ).repartition(parts, "vid")
+        new_state = new_state.persist()
+        new_state.count()
+        touched.append(int(obs_l.get["touched"] or 0))
+        state.unpersist()
+        state = new_state
     sym.unpersist()
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
+        metrics_out["frontier_sizes"] = frontier_sizes
+        metrics_out["touched"] = touched
+    core = releaf(
+        state.where(F.col("deg") >= k)
+        .select("vid")
+        .localCheckpoint(eager=True)
+    )
+    state.unpersist()
     return (
         graph.vertices.select("vid")
-        .join(alive.withColumn("_in", F.lit(1)), "vid", "left")
+        .join(core.withColumn("_in", F.lit(1)), "vid", "left")
         .select("vid", F.coalesce("_in", F.lit(0)).cast("long").alias("in_core"))
     )

@@ -8,14 +8,30 @@ weight proxy, made fully deterministic: the weight of undirected edge
 (a, b), a<b, is the pair (a, b) ordered lexicographically.
 
 DataFrame Boruvka round:
-  1. label edges by the component of each endpoint (2 joins);
-  2. drop intra-component edges (the Contract);
-  3. per component, pick the min incident edge — ``min_by`` over the
-     (a, b) struct (the FindMinEdge);
-  4. union the picked edges into the forest; hook components:
+  1. label edges by the component of each endpoint (2 joins) and drop
+     intra-component edges (the Contract) — composed INLINE into the
+     pick plan, never materialized on its own;
+  2. per component, pick the min incident edge — ``min_by`` over the
+     (a, b, ca, cb) struct (the FindMinEdge); the endpoint labels ride
+     in the struct so the Graft below needs NO re-join against the
+     label table;
+  3. append the picked edges to the forest; hook components:
      component label <- min(label, other endpoint's label) over picked
-     edges, then pointer-jump to collapse chains (the Graft+PointJump —
-     same machinery as components.py).
+     edges, then pointer-double to a fixpoint (the Graft+PointJump).
+
+Driver-barrier diet (scale shape): every per-round convergence count
+rides an existing materialization job as an ``Observation`` — the
+picked-edge count is observed on the pick checkpoint, and each
+pointer-doubling jump observes its own changed-count on the jump
+checkpoint. A Boruvka round is therefore 2 + #jumps driver jobs
+(pick, hook-merge, jumps), with NO standalone ``count()`` actions. The
+forest is append-only DURING the run: hook-to-min merges each
+component with exactly one neighbor per round, so a picked star edge
+whose component hooked elsewhere can stay live and be re-picked next
+round — those cross-round duplicates (never cycles: a re-picked edge
+still bridges two genuinely distinct clusters) are removed by ONE
+``distinct`` over the final union, not a re-distinct of the growing
+forest every round.
 
 Terminates when no inter-component edges remain; the result is the
 spanning forest edge set (exact, deterministic).
@@ -23,7 +39,7 @@ spanning forest edge set (exact, deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
 from planar_spark.graph.superstep import releaf
@@ -34,8 +50,15 @@ def boruvka_msf(
     graph: GraphTables,
     config: EngineConfig | None = None,
     max_rounds: int = 30,
+    max_jumps: int = 40,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
-    """Returns the spanning-forest edges (a, b) with a < b."""
+    """Returns the spanning-forest edges (a, b) with a < b.
+
+    ``metrics_out`` (optional dict) receives ``rounds``, ``jumps`` (total
+    pointer-doubling jobs across all rounds) and ``picked_per_round`` —
+    used by the job-diet regression test and the bench extras.
+    """
     config = config or EngineConfig()
     spark = graph.spark
     parts = config.partitions_for(spark)
@@ -46,46 +69,51 @@ def boruvka_msf(
             "vid", F.col("vid").alias("label")
         ).localCheckpoint(eager=True)
     )
-    forest = None
+    forest_parts: list[DataFrame] = []
+    rounds = 0
+    total_jumps = 0
+    picked_per_round: list[int] = []
 
     for _ in range(max_rounds):
         la = labels.select(F.col("vid").alias("a"), F.col("label").alias("ca"))
         lb = labels.select(F.col("vid").alias("b"), F.col("label").alias("cb"))
-        live = releaf(
+        live = (
             und.join(la, "a").join(lb, "b")
             .where(F.col("ca") != F.col("cb"))
-            .localCheckpoint(eager=True)
         )
-        if live.limit(1).count() == 0:
-            break
         # FindMinEdge per component: min (a, b) struct incident to it,
-        # seen from both endpoints' components.
-        incident = live.select(
-            F.col("ca").alias("comp"), F.struct("a", "b").alias("e")
-        ).unionAll(
-            live.select(F.col("cb").alias("comp"), F.struct("a", "b").alias("e"))
+        # seen from both endpoints' components. ca/cb are functionally
+        # determined by (a, b) within a round, so carrying them in the
+        # struct changes neither the min nor the distinct.
+        e_struct = F.struct("a", "b", "ca", "cb").alias("e")
+        incident = live.select(F.col("ca").alias("comp"), e_struct).unionAll(
+            live.select(F.col("cb").alias("comp"), e_struct)
         )
-        picked = (
+        obs_pick = Observation()
+        picked = releaf(
             incident.groupBy("comp")
             .agg(F.min("e").alias("e"))
-            .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .select("e.a", "e.b", "e.ca", "e.cb")
             .distinct()
+            .observe(obs_pick, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        picked = releaf(picked)
-        forest = picked if forest is None else forest.unionAll(picked).distinct()
-        forest = releaf(forest.localCheckpoint(eager=True))
+        n_picked = int(obs_pick.get["n"])
+        if n_picked == 0:
+            break
+        rounds += 1
+        picked_per_round.append(n_picked)
+        forest_parts.append(picked.select("a", "b"))
         # Graft: across picked edges, both endpoints' components adopt
-        # the min of the two labels.
-        pa = picked.join(la, "a").join(lb, "b")
-        hooks = pa.select(
+        # the min of the two labels (labels ride in the picked rows).
+        hooks = picked.select(
             F.col("ca").alias("comp"), F.col("cb").alias("adopt")
-        ).unionAll(pa.select(F.col("cb").alias("comp"), F.col("ca").alias("adopt")))
+        ).unionAll(
+            picked.select(F.col("cb").alias("comp"), F.col("ca").alias("adopt"))
+        )
         merged = hooks.groupBy("comp").agg(F.min("adopt").alias("new_label"))
-        labels = (
-            labels.join(
-                merged, labels["label"] == merged["comp"], "left"
-            )
+        labels = releaf(
+            labels.join(merged, labels["label"] == merged["comp"], "left")
             .select(
                 "vid",
                 F.least(
@@ -93,34 +121,47 @@ def boruvka_msf(
                     F.coalesce("new_label", F.col("label")),
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         # PointJump to a fixpoint: every merged cluster must end the
         # round under ONE label, or a stale label could re-pick an
-        # intra-cluster edge next round and close a cycle.
-        labels = releaf(labels.localCheckpoint(eager=True))
-        for _ in range(16):
+        # intra-cluster edge next round and close a cycle. Pointer
+        # DOUBLING (label <- label[label] against the updated table)
+        # halves chain depth per jump, and the changed-count is observed
+        # on the jump's own checkpoint job — no standalone count action.
+        for _j in range(max_jumps):
             parent = labels.select(
                 F.col("vid").alias("p_vid"), F.col("label").alias("p_label")
             )
+            obs_j = Observation()
             jumped = releaf(
                 labels.join(parent, labels["label"] == parent["p_vid"])
-                .select("vid", F.col("p_label").alias("label"))
+                .select(
+                    labels["vid"].alias("vid"),
+                    F.col("p_label").alias("label"),
+                    (labels["label"] != F.col("p_label"))
+                    .cast("long")
+                    .alias("_moved"),
+                )
+                .observe(obs_j, F.sum("_moved").alias("changed"))
+                .drop("_moved")
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                jumped.join(
-                    labels.select("vid", F.col("label").alias("old")), "vid"
-                )
-                .where(F.col("label") != F.col("old"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
+            total_jumps += 1
             labels = jumped
-            if changed == 0:
+            if int(obs_j.get["changed"] or 0) == 0:
                 break
 
     und.unpersist()
-    if forest is None:
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
+        metrics_out["jumps"] = total_jumps
+        metrics_out["picked_per_round"] = picked_per_round
+    if not forest_parts:
         return spark.createDataFrame([], schema="a long, b long")
-    return forest
+    out = forest_parts[0]
+    for part in forest_parts[1:]:
+        out = out.unionAll(part)
+    # one terminal dedup (see module doc: hook-to-min can re-pick a
+    # star edge across rounds) — O(|forest|) once, not once per round
+    return out.distinct()

@@ -31,13 +31,31 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from planar_spark.config import EngineConfig
 from planar_spark.storage import TableStore
 
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
 PostFn = Callable[[DataFrame, DataFrame, int], dict]
+
+
+def resolve_observations(metrics: dict) -> dict:
+    """Replace any ``Observation`` values in a step's metrics dict with
+    the observed aggregates (merged in as plain keys).
+
+    This is the zero-extra-job metrics path: a step_fn attaches
+    ``df.observe(obs, ...)`` to the state plan it returns and puts the
+    Observation in its metrics; the engine resolves it right after the
+    state-materialization job (localCheckpoint / cache count / store
+    write) — which is the job that populated it — so convergence counts
+    never cost a standalone action."""
+    out = dict(metrics)
+    for key in list(out):
+        if isinstance(out[key], Observation):
+            obs = out.pop(key)
+            out.update(obs.get)
+    return out
 
 
 def releaf(df: DataFrame) -> DataFrame:
@@ -205,7 +223,10 @@ class SuperstepEngine:
             t0 = time.time()
             new_state, metrics = step_fn(state, step)
             new_state = self._persist_state(new_state, step)
-            metrics = dict(metrics)
+            # Observations attached to the state plan were populated by
+            # the materialization job just above — fold them in now (so
+            # converged_fn and the checkpoint meta see plain values).
+            metrics = resolve_observations(metrics)
             if post_fn is not None:
                 metrics.update(post_fn(state, new_state, step))
             metrics["superstep"] = step

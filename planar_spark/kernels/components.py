@@ -102,6 +102,8 @@ def connected_components(
         )
 
     def step(labels: DataFrame, _step: int) -> tuple[DataFrame, dict]:
+        from pyspark.sql import Observation
+
         sym = edge_state["sym"]
         if contract and _step > 1:
             la = labels.select(F.col("vid").alias("src"), F.col("label").alias("ls"))
@@ -136,26 +138,26 @@ def connected_components(
                 new.join(parent, new["label"] == parent["p_vid"])
                 .select("vid", F.col("p_label").alias("label"))
             )
-        return new, {}
+        # Convergence via the label-sum invariant: hash-min labels only
+        # ever DECREASE, so an unchanged sum(label) between supersteps
+        # is a fixpoint proof. The sum is OBSERVED on the state plan and
+        # populated by the engine's materialization job — one driver
+        # action per superstep total, no standalone aggregate job (the
+        # reference's analogue is the active counter,
+        # bsp_update_store.h:111-125).
+        obs = Observation()
+        new = new.observe(obs, F.sum("label").alias("label_sum"))
+        return new, {"_obs": obs}
 
-    # Convergence via the label-sum invariant: hash-min labels only ever
-    # DECREASE, so sum(label) is strictly decreasing until the fixpoint
-    # — one cheap aggregate per superstep instead of a join + count
-    # (the reference's analogue is the active counter,
-    # bsp_update_store.h:111-125).
     prev_sum = {"v": None}
 
-    def post(old: DataFrame, new: DataFrame, _step: int) -> dict:
-        s = new.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        out = {
-            "label_sum": int(s),
-            "converged": prev_sum["v"] is not None and s == prev_sum["v"],
-        }
-        prev_sum["v"] = s
-        return out
-
     def converged(metrics: dict) -> bool:
-        return bool(metrics.get("converged"))
+        s = metrics.get("label_sum")
+        if s is None:
+            return False
+        done = prev_sum["v"] is not None and s == prev_sum["v"]
+        prev_sum["v"] = s
+        return done
 
     engine = engine or SuperstepEngine(
         spark, config, "connected_components",
@@ -163,7 +165,7 @@ def connected_components(
                  "num_edges": graph.num_edges},
     )
     result = engine.run(
-        init_state, step, max_iterations, converged, post_fn=post, resume=resume
+        init_state, step, max_iterations, converged, resume=resume
     )
     edge_state["sym"].unpersist()
     return result

@@ -80,36 +80,42 @@ def pagerank(
             state.where(F.col("out_deg") == 0)
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
         )
-        new_state = (
-            base.join(contribs, "vid", "left")
-            .crossJoin(F.broadcast(dm_df))
-            .select(
-                "vid",
-                "out_deg",
-                (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n))
-                    )
-                ).alias("pr"),
+        pr_expr = (
+            F.lit((1.0 - d) / n)
+            + F.lit(d)
+            * (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("_dm") / F.lit(float(n))
             )
-        )
-        # no trailing repartition: the base⋈contribs join already leaves
-        # the state hash-partitioned by vid with `parts` partitions
-        return new_state, {}
-
-    def post(old_state: DataFrame, new_state: DataFrame, _step: int) -> dict:
+        ).alias("pr")
         if config.tolerance <= 0:
-            return {}
-        delta = (
-            new_state.select("vid", "pr")
-            .join(old_state.select("vid", F.col("pr").alias("pr_old")), "vid")
-            .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("l1"))
-            .collect()[0]["l1"]
+            new_state = (
+                base.join(contribs, "vid", "left")
+                .crossJoin(F.broadcast(dm_df))
+                .select("vid", "out_deg", pr_expr)
+            )
+            # no trailing repartition: the base⋈contribs join already
+            # leaves the state hash-partitioned by vid
+            return new_state, {}
+        # Early-stop mode: build the new state FROM the old one (which
+        # carries pr) so the L1 delta is OBSERVED on the state plan —
+        # the convergence metric rides the materialization job instead
+        # of a standalone old⋈new aggregate job per superstep.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_state = (
+            state.select("vid", "out_deg", F.col("pr").alias("_pr_old"))
+            .join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dm_df))
+            .select("vid", "out_deg", pr_expr, "_pr_old")
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("pr") - F.col("_pr_old"))).alias("l1_delta"),
+            )
+            .drop("_pr_old")
         )
-        return {"l1_delta": float(delta if delta is not None else 0.0)}
+        return new_state, {"_obs": obs}
 
     def converged(metrics: dict) -> bool:
         return (
@@ -121,6 +127,4 @@ def pagerank(
         spark, config, "pagerank",
         lineage={"num_vertices": n, "num_edges": graph.num_edges},
     )
-    return engine.run(
-        init_state, step, iters, converged, post_fn=post, resume=resume
-    )
+    return engine.run(init_state, step, iters, converged, resume=resume)

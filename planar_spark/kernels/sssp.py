@@ -16,12 +16,15 @@ Each superstep:
     state' = state left⋈ m : dist' = k where dist==INF and hit
 
 Scale shape: the state stays hash-partitioned by vid across rounds
-(localCheckpoint preserves output partitioning), so the per-round
-shuffle is O(|frontier neighborhood|) — only ``m`` is exchanged, never
-the O(V) state (asserted in tests/test_plans.py). The frontier is
-broadcast when small (maybe_broadcast) — the analogue of the
-reference's active-bitmap scan skipping
-(core/apis/planar_app_base.h:167-205).
+because it is CACHE-persisted (InMemoryRelation preserves output
+partitioning; a localCheckpoint degrades it to UnknownPartitioning —
+see config.py), so the per-round shuffle is O(|frontier neighborhood|)
+— only ``m`` is exchanged, never the O(V) state (asserted in
+tests/test_plans.py). The frontier is broadcast when small
+(maybe_broadcast) — the analogue of the reference's active-bitmap scan
+skipping (core/apis/planar_app_base.h:167-205). The frontier size is
+observed on the frontier checkpoint job, so a superstep is exactly two
+driver actions: state materialization + frontier cut.
 """
 
 from __future__ import annotations
@@ -52,6 +55,13 @@ def bfs_sssp(
     # newly-reached set each round WITHOUT an O(V) exchange — cached
     # plans keep their hash partitioning, localCheckpoints do not.
     config = dataclasses.replace(config, state_persist="cache")
+    if engine is not None:
+        # An externally-supplied engine (the spark-submit job path) was
+        # built with the caller's config — force cache-mode state there
+        # too, or the per-round O(V) exchange silently comes back.
+        engine.config = dataclasses.replace(
+            engine.config, state_persist="cache"
+        )
     spark = graph.spark
     parts = config.partitions_for(spark)
     edges = graph.edges
@@ -117,16 +127,21 @@ def bfs_sssp(
 
     def post(old: DataFrame, new: DataFrame, k: int) -> dict:
         # next round's frontier: the rows set to k this round — a tiny
-        # leaf cut from the (already materialized) new state.
+        # leaf cut from the (already materialized) new state. Its size
+        # is observed on the same checkpoint job (no standalone count).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         frontier = (
             new.where(F.col("dist") == k)
             .select("vid")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n = frontier.count()
+        n = int(obs.get["n"])
         carry["frontier"] = frontier
-        carry["size"] = int(n)
-        return {"frontier_size": int(n)}
+        carry["size"] = n
+        return {"frontier_size": n}
 
     def converged(metrics: dict) -> bool:
         return metrics.get("frontier_size", -1) == 0

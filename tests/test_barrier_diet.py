@@ -102,6 +102,77 @@ def test_kcore_delta_peeling_touches_only_frontier(spark, config):
     assert sum(metrics["touched"]) < len(edges), metrics
 
 
+def test_wcc_one_action_per_superstep(spark, config):
+    """WCC's sum(label) convergence metric must ride the state
+    materialization job as an Observation — one driver action per
+    superstep, no standalone aggregate job."""
+    from planar_spark.kernels import connected_components
+
+    edges = edges_powerlaw(300, m=2, seed=4)
+    g = graph_from_numpy(spark, edges, 300)
+    g.edges.count()
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("wcc-diet", "wcc")
+        r = connected_components(g, config, two_hop_init=True)
+        sc.setJobGroup("wcc-diet-after", "x")
+        jobs = sc.statusTracker().getJobIdsForGroup("wcc-diet")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    steps = r.steps_run
+    assert r.converged and steps >= 2
+    # actions = init-state ckpt + one state ckpt per superstep; each
+    # action may additionally submit broadcast-build jobs for its small
+    # join sides (two-hop init: 2, gather/jump: up to 2) — factor 3
+    assert len(jobs) <= 3 * (steps + 1) + 1, (len(jobs), steps)
+    # and the observed metric is present in every superstep's metrics
+    assert all("label_sum" in m for m in r.metrics if m.get("superstep"))
+
+
+def test_sssp_two_actions_per_superstep(spark, config):
+    """SSSP: state materialization + frontier cut (its size observed on
+    the cut's own job) — exactly two driver actions per superstep."""
+    from planar_spark.kernels.sssp import bfs_sssp
+
+    edges = edges_powerlaw(300, m=2, seed=4)
+    g = graph_from_numpy(spark, edges, 300)
+    g.edges.count()
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # source = newest vertex: PA edges point to earlier ids, so the
+        # BFS actually expands for several levels
+        sc.setJobGroup("sssp-diet", "sssp")
+        r = bfs_sssp(g, 299, config)
+        sc.setJobGroup("sssp-diet-after", "x")
+        jobs = sc.statusTracker().getJobIdsForGroup("sssp-diet")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    steps = r.steps_run
+    assert r.converged and steps >= 3
+    assert len(jobs) <= 2 * (2 * steps + 2), (len(jobs), steps)
+
+
+def test_pagerank_l1_delta_observed_in_plan(spark, config):
+    """Early-stop PageRank: the L1 delta must come from an Observation
+    on the state plan, converging without standalone aggregate jobs."""
+    import dataclasses
+
+    from planar_spark.kernels import pagerank
+
+    edges = edges_powerlaw(200, m=2, seed=6)
+    g = graph_from_numpy(spark, edges, 200)
+    cfg = dataclasses.replace(config, tolerance=1e-12)
+    r = pagerank(g, cfg, num_iterations=60)
+    assert r.converged
+    deltas = [m["l1_delta"] for m in r.metrics if "l1_delta" in m]
+    assert deltas and deltas[-1] < 1e-12
+    assert all(b <= a * 1.01 for a, b in zip(deltas, deltas[1:]))  # shrinking
+    mass = float(r.state.agg(F.sum("pr")).collect()[0][0])
+    assert abs(mass - 1.0) < 1e-9
+
+
 def test_coloring_round_plan_has_no_collect_set(spark, config):
     """The JP mex must be the counting form (explode + anti-join), not a
     per-vertex collect_set whose aggregation buffer is unbounded on

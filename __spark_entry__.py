@@ -589,7 +589,12 @@ FROM (
 ) WHERE rn = 1"""
 
 
-_NEAR_DUP_ROUNDS = 6
+# The kernel iterates hash-min to a FIXPOINT (exact for any pair-graph
+# diameter); the oracle's unroll only has to cover the gate data's
+# actual diameter, with slack so the gate stays independent of the
+# kernel's round count (measured pair-graph diameter at sf0.01: <= 2 —
+# near-dup clusters are near-cliques; over-unrolling is a no-op).
+_NEAR_DUP_ROUNDS = 8
 
 
 def _near_dup_sql(threshold: float = 0.5) -> str:

@@ -9,8 +9,9 @@ codec libraries are not in this container.
 
 ``decode_image_batch`` is therefore STUBBED: with ``fake=True``
 (default here) it produces a deterministic feature vector from the
-bytes; with ``fake=False`` it raises NotImplementedError where a real
-decoder (PIL/libvips) would be called. Swapping in the real decoder
+bytes; with ``fake=False`` it uses PIL when importable (installing
+codecs flips the path with ZERO code change) and raises
+NotImplementedError otherwise. Swapping in a different real decoder
 changes ONE function, not the dataflow.
 """
 
@@ -43,19 +44,35 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     )
 
 
+def _real_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real decode+embed via PIL: decode, resize to a 4x4 grayscale
+    thumbnail, features = the 16 pixel intensities / 255. Import is
+    deferred so environments without codecs never pay for it."""
+    import io
+
+    from PIL import Image  # noqa: import-outside-toplevel
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    return (
+        np.asarray(img, dtype=np.float32).reshape(-1)[:dim] / 255.0
+    ).astype(np.float32)
+
+
 def decode_image_batch(
     batches: Iterator[pd.DataFrame], fake: bool = True
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas operator: (url, payload, ...) -> (url, feature)."""
-    for pdf in batches:
-        if not fake:
+    if not fake:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
             raise NotImplementedError(
                 "real image decode requires PIL/libvips — not in this "
                 "container; run with fake=True or install codecs"
-            )
-        feats = [
-            _fake_decode(bytes(p)).tolist() for p in pdf["payload"]
-        ]
+            ) from exc
+    decode = _fake_decode if fake else _real_decode
+    for pdf in batches:
+        feats = [decode(bytes(p)).tolist() for p in pdf["payload"]]
         yield pd.DataFrame({"url": pdf["url"], "feature": feats})
 
 

@@ -374,37 +374,44 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def detect_language(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang) — stopword-list language ID: the language
     whose stopword list covers the largest fraction of the doc's tokens
-    (ties broken alphabetically; zero hits -> 'und')."""
+    (ties broken alphabetically; zero hits -> 'und').
+
+    Single-pass melt: ONE scan of the token stream joined against a
+    broadcast (lang, word) table, then one (doc_id, lang) aggregation —
+    O(1) aggregation passes regardless of how many languages the
+    wordlist grows to (the per-language-aggregation formulation was
+    O(L) scans). Zero-hit languages can never win the argmax, so
+    dropping them from the melt preserves the exact semantics; docs
+    with no hits at all fall out to 'und' via the final left join."""
+    spark = docs.sparkSession
+    wordlist = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
+        schema="lang string, tok string",
+    )
     toks = docs.select(
         "doc_id",
         F.explode(
             F.split(F.lower(F.col("text")), r"\s+")
         ).alias("tok"),
     )
-    per_lang = None
-    for lang, words in sorted(STOPWORDS.items()):
-        arr = F.array([F.lit(w) for w in words])
-        scored = toks.groupBy("doc_id").agg(
-            F.sum(F.array_contains(arr, F.col("tok")).cast("long")).alias("hits")
-        ).select("doc_id", F.lit(lang).alias("lang"), "hits")
-        per_lang = scored if per_lang is None else per_lang.unionAll(scored)
+    hits = (
+        toks.join(F.broadcast(wordlist), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
     # argmax by (hits desc, lang asc) as a struct-min — no window
     best = (
-        per_lang.groupBy("doc_id")
+        hits.groupBy("doc_id")
         .agg(
             F.min(
                 F.struct((-F.col("hits")).alias("nh"), F.col("lang"))
-            ).alias("m"),
-            F.max("hits").alias("max_hits"),
+            ).alias("m")
         )
-        .select(
-            "doc_id",
-            F.when(F.col("max_hits") > 0, F.col("m.lang"))
-            .otherwise(F.lit("und"))
-            .alias("pred_lang"),
-        )
+        .select("doc_id", F.col("m.lang").alias("pred_lang"))
     )
-    return best
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
+    )
 
 
 def near_dup_clusters(
@@ -413,20 +420,26 @@ def near_dup_clusters(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
-    max_rounds: int = 6,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """(doc_id, canonical_id) — end-to-end near-dup dedup: LSH candidate
     pairs, exact Jaccard filter at ``threshold``, then connected
-    components of the pair graph via bounded hash-min label exchange
-    (near-dup clusters are near-cliques, so their diameter is tiny and
-    a fixed small round count is exact). canonical_id = min doc_id in
-    the cluster; unclustered docs are their own canonical."""
+    components of the pair graph via hash-min label exchange iterated
+    TO A FIXPOINT (the per-round changed-count rides the label
+    checkpoint job as an Observation, so the exactness guarantee costs
+    no extra driver actions). A fixed round count would silently
+    under-merge a pairwise near-dup CHAIN whose pair-graph diameter
+    exceeds it — clusters are usually near-cliques, but "usually" is
+    not a correctness argument. canonical_id = min doc_id in the
+    cluster; unclustered docs are their own canonical."""
+    from pyspark.sql import Observation
+
     from planar_spark.graph.superstep import releaf
 
     pairs = lsh_candidate_pairs(docs, n, num_hashes, bands)
     sims = ngram_jaccard(docs, pairs, n)
-    # materialize the (tiny) pair-graph edge list once so the 6-round
-    # label loop references a leaf, not the whole LSH/Jaccard tree
+    # materialize the (tiny) pair-graph edge list once so the label loop
+    # references a leaf, not the whole LSH/Jaccard tree
     edges = releaf(
         sims.where(F.col("jaccard") >= threshold)
         .select("a", "b")
@@ -435,14 +448,31 @@ def near_dup_clusters(
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = releaf(
+        docs.select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), "label"
         )
         mins = msgs.groupBy("doc_id").agg(F.min("label").alias("ml"))
-        labels = labels.join(mins, "doc_id", "left").select(
-            "doc_id",
-            F.least("label", F.coalesce("ml", F.col("label"))).alias("label"),
+        obs = Observation()
+        labels = releaf(
+            labels.join(mins, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("ml", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.coalesce("ml", F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("_moved"),
+            )
+            .observe(obs, F.sum("_moved").alias("changed"))
+            .drop("_moved")
+            .localCheckpoint(eager=True)
         )
+        if int(obs.get["changed"] or 0) == 0:
+            break
     return labels.select("doc_id", F.col("label").alias("canonical_id"))

@@ -111,10 +111,21 @@ class TableStore:
                 row, schema="name string, meta_json string, wall_ts double"
             )
             ident = self._ident("_meta")
-            try:
-                df.writeTo(ident).append()
-            except Exception:
-                df.writeTo(ident).createOrReplace()
+            # Create-if-missing, then ALWAYS append. Never fall back to
+            # createOrReplace on a failed append: a transient append
+            # failure (concurrent-commit conflict, IO blip) must surface
+            # — replacing the shared _meta table with a single row would
+            # destroy every run's completion markers and break resume.
+            # CREATE TABLE IF NOT EXISTS is also safe under concurrent
+            # writers, unlike probing with a blanket try/except.
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+            )
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {ident} "
+                "(name STRING, meta_json STRING, wall_ts DOUBLE)"
+            )
+            df.writeTo(ident).append()
             return
         d = self._path(name)
         os.makedirs(d, exist_ok=True)

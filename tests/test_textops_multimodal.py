@@ -99,10 +99,69 @@ def test_multimodal_plumbing(spark):
     assert np.allclose(one["feature"], _fake_decode(bytes(payload)), atol=1e-6)
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+_HAS_PIL = __import__("importlib").util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL installed: real decode active")
+def test_multimodal_real_decode_is_stubbed_without_pil(spark):
     media = synth_media_df(spark, 4)
     with pytest.raises(Exception):  # NotImplementedError inside executor
         extract_media_features(media, fake=False).collect()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not in this container")
+def test_multimodal_real_decode_with_pil(spark):
+    """Installing PIL flips fake=False to a real decode with zero code
+    change: PNG payloads decode to 16 grayscale features in [0, 1]."""
+    import io
+
+    from PIL import Image
+
+    def png_bytes(i):
+        img = Image.new("L", (8, 8), color=16 * i)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return bytearray(buf.getvalue())
+
+    rows = [
+        (f"u{i}", "image/png", png_bytes(i), 8, 8, 0) for i in range(4)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        schema="url string, media_type string, payload binary, "
+        "width int, height int, n_bytes long",
+    )
+    feats = {
+        r["url"]: r["feature"]
+        for r in extract_media_features(media, fake=False).collect()
+    }
+    assert all(len(v) == 16 for v in feats.values())
+    assert feats["u2"][0] == pytest.approx(32 / 255.0, abs=1e-6)
+
+
+def test_near_dup_chain_merges_to_fixpoint(spark):
+    """A pairwise near-dup CHAIN with pair-graph diameter 15: adjacent
+    docs share 16/20 shingles (J=0.8 >= 0.7), two-apart only 14/22
+    (0.636 < 0.7) — so the pair graph is exactly the path 0-1-...-15 and
+    a fixed 6-round label exchange would under-merge; the fixpoint loop
+    must collapse everything to canonical 0."""
+    from planar_spark.kernels.textops import near_dup_clusters
+
+    n_docs = 16
+    words = [f"w{i:02d}" for i in range(2 * n_docs + 20)]
+    rows = [
+        (i, " ".join(words[2 * i : 2 * i + 20]), "en") for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(
+            docs, threshold=0.7, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n_docs)}, got
 
 
 def test_embedding_ann_topk_recall_and_no_crossjoin(spark):

@@ -232,43 +232,65 @@ def _sssp_sql() -> str:
     return "\n".join(parts)
 
 
-def _gnn_sql() -> str:
-    """Unrolled 1-layer GNN forward oracle (dim 8, seed 42).
+GNN_LAYERS = 2
 
-    Mirrors kernels/gnn.py exactly: mean over {self} ∪ {out-neighbors}
-    divided by out_deg + 1, then relu(W · mean); the seeded 8×8 weight
-    matrix is inlined as repr()'d double literals (exact round-trip).
+
+def _gnn_sql() -> str:
+    """Unrolled GNN_LAYERS-layer GNN forward oracle (dim 8, seed 42).
+
+    Mirrors kernels/gnn.py exactly, per layer: mean over {self} ∪
+    {out-neighbors} divided by out_deg + 1, then relu(W_l · mean) —
+    layer 1's relu output feeds layer 2's mean-aggregation unrounded;
+    only the final layer rounds to 6 dp. Each seeded 8×8 weight matrix
+    is inlined as repr()'d double literals (exact round-trip).
     """
     from planar_spark.kernels.gnn import seeded_weights
 
-    w = seeded_weights(8, 1, 42)[0]
-    vals = ",\n      ".join(
-        ", ".join(f"({r}, {c}, {w[r][c]!r})" for c in range(8)) for r in range(8)
-    )
-    return f"""WITH {_EDGES8},
-deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src),
-pos AS (SELECT UNNEST(generate_series(0, 7)) AS p),
-feat AS MATERIALIZED (
-    SELECT v.vid, p.p AS pos,
-           CAST((v.vid * 31 + p.p) % 97 AS DOUBLE) / 97.0 AS val
-    FROM verts v CROSS JOIN pos p
-),
-summed AS MATERIALIZED (
+    ws = seeded_weights(8, GNN_LAYERS, 42)
+
+    def wcte(li: int) -> str:
+        vals = ",\n      ".join(
+            ", ".join(f"({r}, {c}, {ws[li][r][c]!r})" for c in range(8))
+            for r in range(8)
+        )
+        return f"w{li}(r, c, wt) AS (VALUES {vals})"
+
+    parts = [
+        f"WITH {_EDGES8},",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg"
+        " FROM edges GROUP BY src),",
+        "pos AS (SELECT UNNEST(generate_series(0, 7)) AS p),",
+        "h0 AS MATERIALIZED (",
+        "    SELECT v.vid, p.p AS pos,",
+        "           CAST((v.vid * 31 + p.p) % 97 AS DOUBLE) / 97.0 AS val",
+        "    FROM verts v CROSS JOIN pos p",
+        "),",
+        ",\n".join(wcte(li) for li in range(GNN_LAYERS)),
+    ]
+    for li in range(GNN_LAYERS):
+        p = li  # input layer index
+        parts.append(f""",
+sm{li} AS MATERIALIZED (
     SELECT vid, pos, SUM(val) AS s FROM (
-        SELECT vid, pos, val FROM feat
+        SELECT vid, pos, val FROM h{p}
         UNION ALL
-        SELECT e.src AS vid, f.pos, f.val FROM edges e JOIN feat f ON e.dst = f.vid
+        SELECT e.src AS vid, f.pos, f.val FROM edges e JOIN h{p} f ON e.dst = f.vid
     ) GROUP BY vid, pos
 ),
-mean AS MATERIALIZED (
+mn{li} AS MATERIALIZED (
     SELECT s.vid, s.pos, s.s / (COALESCE(d.outdeg, 0) + 1) AS m
-    FROM summed s LEFT JOIN deg d ON s.vid = d.vid
+    FROM sm{li} s LEFT JOIN deg d ON s.vid = d.vid
 ),
-w(r, c, wt) AS (VALUES {vals})
-SELECT m.vid, CAST(w.r AS BIGINT) AS pos,
-       ROUND(GREATEST(SUM(w.wt * m.m), 0.0), 6) AS val
-FROM mean m JOIN w ON w.c = m.pos
-GROUP BY m.vid, w.r"""
+h{li + 1} AS MATERIALIZED (
+    SELECT m.vid, w.r AS pos, GREATEST(SUM(w.wt * m.m), 0.0) AS val
+    FROM mn{li} m JOIN w{li} w ON w.c = m.pos
+    GROUP BY m.vid, w.r
+)""")
+    parts.append(
+        f"SELECT vid, CAST(pos AS BIGINT) AS pos, ROUND(val, 6) AS val"
+        f" FROM h{GNN_LAYERS}"
+    )
+    return "\n".join(parts)
 
 
 KCORE_K = 16
@@ -808,6 +830,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("val").cast("double").alias("val"),
         )
 
+    def q_stream_edges(spark, sf_dir):
+        """Streaming ingestion under the hard-oracle regime: synthesize
+        a deterministic pages table from the documents (each page links
+        to two hash-derived doc urls), deliver it in TWO batches through
+        the exactly-once Structured Streaming edge-ingestion path
+        (Trigger.AvailableNow + checkpoint + file-sink commit log), and
+        return the accumulated edge table. If the second run re-ingested
+        batch 1 (exactly-once broken), every even-doc edge would appear
+        twice and the value-hash vs the batch-SQL oracle would fail."""
+        import tempfile
+
+        from planar_spark.streaming.ingest_stream import run_edge_ingestion
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        url = lambda c: F.concat(  # noqa: E731
+            F.lit("https://ex.org/doc/"), c.cast("long").cast("string")
+        )
+
+        def pages(parity: int):
+            html = F.concat(
+                F.lit("<html><title>d"),
+                F.col("doc_id").cast("string"),
+                F.lit('</title><p>body</p><a href="'),
+                url((F.col("doc_id") * 7 + 1) % 499),
+                F.lit('">x</a><a href="'),
+                url((F.col("doc_id") * 13 + 2) % 499),
+                F.lit('">y</a></html>'),
+            )
+            return docs.where(F.col("doc_id") % 2 == parity).select(
+                url(F.col("doc_id")).alias("url"),
+                F.timestamp_seconds(
+                    F.lit(1700000000) + F.col("doc_id")
+                ).alias("warc_ts"),
+                F.encode(html, "UTF-8").alias("html"),
+                F.lit("").alias("text"),
+                F.lit("en").alias("lang"),
+            )
+
+        base = tempfile.mkdtemp(prefix="planar_stream_gate_")
+        in_dir, out_dir, ckpt = (
+            f"{base}/pages", f"{base}/edges", f"{base}/ckpt",
+        )
+        pages(0).write.mode("append").parquet(in_dir)
+        run_edge_ingestion(spark, in_dir, out_dir, ckpt)
+        pages(1).write.mode("append").parquet(in_dir)
+        run_edge_ingestion(spark, in_dir, out_dir, ckpt)
+        return spark.read.parquet(out_dir).select("src_url", "dst_url")
+
     def q_gnn_forward(spark, sf_dir):
         from planar_spark.kernels.gnn import gnn_forward
 
@@ -820,7 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 lambda i: ((F.col("vid") * 31 + i) % 97).cast("double") / 97.0,
             ).alias("vec"),
         )
-        out = gnn_forward(g, feats, num_layers=1, dim=dim, config=_cfg())
+        out = gnn_forward(g, feats, num_layers=GNN_LAYERS, dim=dim, config=_cfg())
         # Exploded scalar rows (vid, pos, val) so the driver's value
         # hasher sees sortable scalars, never raw array columns.
         return out.select("vid", F.posexplode("vec").alias("pos", "val")).select(
@@ -858,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "coloring": q_coloring,
         "gnn_forward": q_gnn_forward,
+        "stream_edges": q_stream_edges,
     }
 
 
@@ -870,6 +943,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(),
         "gnn_forward": _gnn_sql(),
+        # batch derivation of the stream-produced edge table: page of
+        # doc d links to docs (7d+1)%499 and (13d+2)%499 (see
+        # q_stream_edges) — UNION ALL keeps the rare hash-collision
+        # duplicate pair, exactly like the two exploded hrefs
+        "stream_edges": """WITH d AS (SELECT doc_id FROM documents)
+SELECT 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+       'https://ex.org/doc/' || CAST((doc_id * 7 + 1) % 499 AS VARCHAR)
+       AS dst_url
+FROM d
+UNION ALL
+SELECT 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR),
+       'https://ex.org/doc/' || CAST((doc_id * 13 + 2) % 499 AS VARCHAR)
+FROM d""",
         "coloring": _coloring_sql(),
         "msf": _msf_sql(),
         "kcore": _kcore_sql(),

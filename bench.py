@@ -2,22 +2,38 @@
 """Headline benchmark: graph kernels on the sf0.1 derived link graph.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., ...extras}
+  {"metric": ..., "value": <median total sec>, "unit": "sec",
+   "queries": {name: median sec}, "sf": ..., ...extras}
 
 Input: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]. The bench graph folds lineitem into a
-65536-vertex space (sparser, more web-like than the 4096-vertex
-correctness graph): ~600k edges, avg out-degree ~9 at sf0.1.
+local[$SPARK_GRAFT_CPUS].
+
+Methodology: the host's memory performance is bimodal (single runs on
+the identical suite have been observed to swing 32.7-44.4s), so the
+headline suite runs $SPARK_GRAFT_BENCH_RUNS times (default 5) and every
+per-query number reported is the MEDIAN, with the (q1, q3) IQR carried
+alongside so round-over-round deltas can be judged against the noise.
+
+Two graph sizes:
+- headline graph: lineitem folded into a 65536-vertex space — ~600k
+  edges at sf0.1 (avg out-degree ~9, web-like), all six kernels,
+  median-of-N.
+- big graph: the same derivation expanded 16x into a 2^20-vertex space
+  (~9.5M edges at sf0.1) so per-kernel timings dominate fixed overhead
+  — PageRank + WCC, single run, reported under "big_graph".
 
 PageRank throughput is the BASELINE.md target metric: edges/sec =
 num_edges * supersteps / seconds, plus supersteps/hour.
+
+Data-pipeline extras run once each; a failing extra records its error
+string instead of silently vanishing from the output.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,6 +53,8 @@ from planar_spark.kernels.neighborhood import two_hop_stats
 from planar_spark.kernels.sssp import bfs_sssp
 
 BENCH_V_MOD = 65536
+BIG_V_MOD = 1 << 20
+BIG_EXPAND = 16
 PR_ITERS = 5
 LPA_ROUNDS = 3
 
@@ -59,15 +77,43 @@ def bench_graph(spark, sf_dir: str, parts: int) -> GraphTables:
     return GraphTables.from_edges(e, num_partitions=parts)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    parts = max(cpus, 8)
-    spark = get_spark("planar_spark_bench", cores=cpus, shuffle_partitions=parts)
-    cfg = EngineConfig(num_partitions=parts, tolerance=0.0, checkpoint_dir=None)
+def big_bench_graph(spark, sf_dir: str, parts: int) -> GraphTables:
+    """~16x the headline edge count in a 2^20-vertex space: the same
+    lineitem derivation replicated under BIG_EXPAND salt mixes (still
+    deterministic) — big enough that per-superstep work dominates the
+    fixed per-job overhead."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .withColumn(
+            "s", F.explode(F.sequence(F.lit(0), F.lit(BIG_EXPAND - 1)))
+        )
+        .select(
+            (
+                (
+                    F.col("l_orderkey") * 2654435761
+                    + F.col("l_linenumber") * 97
+                    + F.col("s") * 1299721
+                )
+                % BIG_V_MOD
+            ).alias("src"),
+            (
+                (
+                    F.col("l_partkey") * 40503
+                    + F.col("l_suppkey") * 131
+                    + F.col("s") * 15485863
+                )
+                % BIG_V_MOD
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return GraphTables.from_edges(e, num_partitions=parts)
 
-    g = bench_graph(spark, sf_dir, parts)  # from_edges counts = warm-up
 
+def run_suite(g: GraphTables, cfg: EngineConfig) -> tuple[dict, int]:
+    """One pass over the six headline kernels -> ({name: sec}, pr_steps)."""
     timings: dict[str, float] = {}
 
     def timed(name, fn):
@@ -76,13 +122,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    pr = timed(
-        "pagerank", lambda: pagerank(g, cfg, num_iterations=PR_ITERS)
-    )
+    pr = timed("pagerank", lambda: pagerank(g, cfg, num_iterations=PR_ITERS))
     timed("wcc", lambda: connected_components(g, cfg, two_hop_init=True))
-    timed(
-        "lpa", lambda: label_propagation(g, cfg, num_iterations=LPA_ROUNDS)
-    )
+    timed("lpa", lambda: label_propagation(g, cfg, num_iterations=LPA_ROUNDS))
     timed("triangle_count", lambda: triangle_count(g, cfg))
     timed(
         "sssp",
@@ -91,52 +133,108 @@ def main() -> None:
         ),
     )
     timed("two_hop_stats", lambda: two_hop_stats(g).count())
+    return timings, pr.steps_run
 
-    # Data-pipeline extras: reported separately so the headline metric
-    # stays comparable across rounds.
-    extras: dict[str, float] = {}
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    parts = max(cpus, 8)
+    spark = get_spark("planar_spark_bench", cores=cpus, shuffle_partitions=parts)
+    cfg = EngineConfig(num_partitions=parts, tolerance=0.0, checkpoint_dir=None)
+
+    g = bench_graph(spark, sf_dir, parts)  # from_edges counts = warm-up
+
+    all_runs: list[dict[str, float]] = []
+    pr_steps = PR_ITERS
+    for _ in range(max(1, n_runs)):
+        t, pr_steps = run_suite(g, cfg)
+        all_runs.append(t)
+
+    names = list(all_runs[0])
+    med = {
+        n: round(statistics.median(r[n] for r in all_runs), 3) for n in names
+    }
+    iqr = {}
+    for n in names:
+        xs = sorted(r[n] for r in all_runs)
+        qs = statistics.quantiles(xs, n=4) if len(xs) >= 2 else [xs[0]] * 3
+        iqr[n] = [round(qs[0], 3), round(qs[2], 3)]
+
+    # Data-pipeline + round-3 kernel extras: one run each; a failure is
+    # recorded as its error string, never silently dropped.
+    extras: dict[str, object] = {}
 
     def timed_extra(name, fn):
         t0 = time.time()
-        fn()
-        extras[name] = round(time.time() - t0, 3)
+        try:
+            fn()
+            extras[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — bench must keep going
+            extras[name] = f"error: {type(e).__name__}: {e}"
 
+    from planar_spark.kernels.coloring import greedy_coloring
+    from planar_spark.kernels.kcore import k_core
+    from planar_spark.kernels.mst import boruvka_msf
+    from planar_spark.kernels.textops import (
+        embedding_ann_topk,
+        lsh_candidate_pairs,
+        near_dup_clusters,
+    )
+
+    timed_extra("msf", lambda: boruvka_msf(g, cfg).count())
+    timed_extra("kcore", lambda: k_core(g, k=8, config=cfg).count())
+    timed_extra("coloring", lambda: greedy_coloring(g, cfg).count())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed_extra("minhash_lsh_pairs", lambda: lsh_candidate_pairs(docs).count())
+    timed_extra("near_dup_clusters", lambda: near_dup_clusters(docs).count())
+    timed_extra("embedding_ann_topk", lambda: embedding_ann_topk(emb).count())
+
+    # Big-graph pass: PageRank + WCC once at ~16x the edges.
+    big: dict[str, object] = {}
     try:
-        from planar_spark.kernels.textops import (
-            embedding_ann_topk,
-            lsh_candidate_pairs,
-            near_dup_clusters,
-        )
+        bg = big_bench_graph(spark, sf_dir, parts)
+        t0 = time.time()
+        bpr = pagerank(bg, cfg, num_iterations=PR_ITERS)
+        big_pr_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        connected_components(bg, cfg, two_hop_init=True)
+        big_wcc_sec = round(time.time() - t0, 3)
+        big = {
+            "num_vertices": bg.num_vertices,
+            "num_edges": bg.num_edges,
+            "pagerank_sec": big_pr_sec,
+            "pagerank_supersteps": bpr.steps_run,
+            "pagerank_edges_per_sec": round(
+                bg.num_edges * bpr.steps_run / big_pr_sec
+            ),
+            "wcc_sec": big_wcc_sec,
+        }
+        bg.unpersist()
+    except Exception as e:  # noqa: BLE001
+        big = {"error": f"{type(e).__name__}: {e}"}
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        timed_extra(
-            "minhash_lsh_pairs", lambda: lsh_candidate_pairs(docs).count()
-        )
-        timed_extra(
-            "near_dup_clusters", lambda: near_dup_clusters(docs).count()
-        )
-        timed_extra(
-            "embedding_ann_topk", lambda: embedding_ann_topk(emb).count()
-        )
-    except Exception:
-        pass
-
-    total = round(sum(timings.values()), 3)
-    pr_sec = timings["pagerank"]
+    total = round(sum(med.values()), 3)
+    pr_sec = med["pagerank"]
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_graph_kernels_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": med,
+        "queries_iqr": iqr,
+        "runs": len(all_runs),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_vertices": g.num_vertices,
         "num_edges": g.num_edges,
         "cores": cpus,
-        "pagerank_supersteps": pr.steps_run,
-        "pagerank_edges_per_sec": round(g.num_edges * pr.steps_run / pr_sec),
-        "pagerank_supersteps_per_hour": round(3600.0 * pr.steps_run / pr_sec, 1),
+        "pagerank_supersteps": pr_steps,
+        "pagerank_edges_per_sec": round(g.num_edges * pr_steps / pr_sec),
+        "pagerank_supersteps_per_hour": round(3600.0 * pr_steps / pr_sec, 1),
+        "big_graph": big,
         "extras": extras,
     }
     print(json.dumps(out))

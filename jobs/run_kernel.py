@@ -34,7 +34,7 @@ from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 
 KERNELS = (
     "pagerank", "wcc", "lpa", "triangles", "sssp",
-    "msf", "coloring", "khop", "randomwalk",
+    "msf", "coloring", "khop", "randomwalk", "kcore",
 )
 
 
@@ -51,6 +51,7 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--source", type=int, default=0, help="sssp source vid")
+    ap.add_argument("--k", type=int, default=8, help="k for the k-core kernel")
     args = ap.parse_args()
     if not (args.pages or args.graph):
         ap.error("one of --pages / --graph is required")
@@ -103,6 +104,10 @@ def main() -> None:
         from planar_spark.kernels.coloring import greedy_coloring
 
         out, meta = greedy_coloring(g, cfg), None
+    elif args.kernel == "kcore":
+        from planar_spark.kernels.kcore import k_core
+
+        out, meta = k_core(g, k=args.k, config=cfg), None
     elif args.kernel == "khop":
         from planar_spark.kernels.neighborhood import khop_risk
 

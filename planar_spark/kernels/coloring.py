@@ -48,25 +48,32 @@ def _round_new_colors(
 ) -> DataFrame:
     """One Jones-Plassmann round: (vid, new_color) for every uncolored
     vertex whose higher-priority neighbors are ALL colored, new_color =
-    mex of those neighbors' colors (counting-based — see module doc)."""
-    nbr = todo.join(higher, "vid").join(
-        colored.select(
-            F.col("vid").alias("n"), F.col("color").alias("ncolor")
-        ),
-        "n",
+    mex of those neighbors' colors (counting-based — see module doc).
+
+    Single join chain: the distinct (vid, neighbor-color) set ``u2``
+    determines BOTH readiness (no NULL among the neighbor colors) and
+    the mex (anti-join of the candidate range against it) — the base
+    gather join runs once per round, and the identical ``u2`` subplan
+    on the stats and anti-join branches is a reused exchange."""
+    u2 = (
+        todo.join(higher, "vid")
+        .join(
+            colored.select(
+                F.col("vid").alias("n"), F.col("color").alias("ncolor")
+            ),
+            "n",
+        )
+        .select("vid", "ncolor")
+        .distinct()
     )
-    stats = nbr.groupBy("vid").agg(
-        F.count(F.lit(1)).alias("n_higher"),
-        F.count("ncolor").alias("n_colored"),
-        F.count_distinct("ncolor").alias("n_used"),
+    stats = u2.groupBy("vid").agg(
+        F.max(F.col("ncolor").isNull()).alias("has_uncolored"),
+        F.count("ncolor").alias("n_used"),
     )
     # ready = all higher-priority neighbors colored (or none exist)
     ready = (
         todo.join(stats, "vid", "left")
-        .where(
-            F.col("n_higher").isNull()
-            | (F.col("n_higher") == F.col("n_colored"))
-        )
+        .where(F.col("has_uncolored").isNull() | ~F.col("has_uncolored"))
         .select("vid", F.coalesce("n_used", F.lit(0)).alias("n_used"))
     )
     # mex via candidate range + anti-join: n_used distinct colors can
@@ -78,12 +85,7 @@ def _round_new_colors(
             F.sequence(F.lit(0).cast("long"), F.col("n_used").cast("long"))
         ).alias("c"),
     )
-    used = (
-        nbr.join(ready.select("vid"), "vid", "left_semi")
-        .where(F.col("ncolor").isNotNull())
-        .select("vid", F.col("ncolor").alias("c"))
-        .distinct()
-    )
+    used = u2.select("vid", F.col("ncolor").alias("c"))
     return (
         cand.join(used, ["vid", "c"], "left_anti")
         .groupBy("vid")

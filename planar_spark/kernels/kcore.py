@@ -72,14 +72,17 @@ def k_core(
             break
         rounds += 1
         frontier_sizes.append(n_removed)
-        # Every (alive src, removed dst) edge decrements src's degree.
-        # The frontier is broadcast when small, so the cached edge table
-        # is scanned in place — shuffle volume is O(frontier edges).
-        rm_dst = removed.select(F.col("vid").alias("dst"))
+        # Every edge of a removed vertex decrements its neighbor's
+        # degree. sym is SYMMETRIC, so joining the frontier on src (the
+        # edge table's partitioning key — zero edge-side exchange
+        # regardless of frontier size) and counting per dst is identical
+        # to the dst-side formulation; the frontier is additionally
+        # broadcast when small so even its shuffle disappears.
+        rm_src = removed.select(F.col("vid").alias("src"))
         obs_l = Observation()
         loss = (
-            sym.join(maybe_broadcast(rm_dst, config, n_removed), "dst")
-            .groupBy(F.col("src").alias("vid"))
+            sym.join(maybe_broadcast(rm_src, config, n_removed), "src")
+            .groupBy(F.col("dst").alias("vid"))
             .agg(F.count(F.lit(1)).alias("lost"))
             .observe(obs_l, F.count(F.lit(1)).alias("touched"))
         )

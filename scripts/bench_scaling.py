@@ -95,7 +95,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=100_000_000)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -107,24 +107,38 @@ def main() -> None:
             print(f"local[{cores}] run {i + 1}: steps={['%.1f' % s for s in r['per_step']]} "
                   f"compute={['%.1f' % s for s in r['compute_times']]}", flush=True)
 
-    def steady(c):  # pooled steady-state per-step seconds
+    def steady_pool(c):  # pooled steady-state per-step seconds
         pool = []
         for r in results[c]:
             pool.extend(r["per_step"][2:])
-        return statistics.median(pool)
+        return pool
+
+    def steady(c):
+        return statistics.median(steady_pool(c))
+
+    def iqr(pool):
+        qs = statistics.quantiles(sorted(pool), n=4)
+        return qs[0], qs[2]
 
     def best(c):
         return min(s for r in results[c] for s in r["per_step"][2:])
 
-    def compute_med(c):
+    def compute_pool(c):
         pool = []
         for r in results[c]:
             pool.extend(r["compute_times"])
-        return statistics.median(pool)
+        return pool
+
+    def compute_med(c):
+        return statistics.median(compute_pool(c))
 
     sample = results[8][0]
     ne = sample["num_edges"]
     step8, step32 = steady(8), steady(32)
+    s8lo, s8hi = iqr(steady_pool(8))
+    s32lo, s32hi = iqr(steady_pool(32))
+    c8lo, c8hi = iqr(compute_pool(8))
+    c32lo, c32hi = iqr(compute_pool(32))
     eps8, eps32 = ne / step8, ne / step32
     eff_kernel = (eps32 / eps8) / 4.0
     eff_best = (best(8) / best(32)) / 4.0
@@ -151,10 +165,10 @@ planar_spark/graph/tables.py). Steady-state = supersteps 3+ (drops JIT
 
 ## Full superstep (gather join + partial-agg shuffle + state merge)
 
-| config | median steady sec/superstep | edges/sec | supersteps/hour |
-|---|---|---|---|
-| local[8]  (N)  | {step8:.2f} | {eps8:,.0f} | {3600 / step8:,.1f} |
-| local[32] (4N) | {step32:.2f} | {eps32:,.0f} | {3600 / step32:,.1f} |
+| config | median steady sec/superstep | IQR | edges/sec | supersteps/hour |
+|---|---|---|---|---|
+| local[8]  (N)  | {step8:.2f} | [{s8lo:.2f}, {s8hi:.2f}] | {eps8:,.0f} | {3600 / step8:,.1f} |
+| local[32] (4N) | {step32:.2f} | [{s32lo:.2f}, {s32hi:.2f}] | {eps32:,.0f} | {3600 / step32:,.1f} |
 
 **Kernel scaling efficiency (N -> 4N): median {eff_kernel:.3f} /
 best-case {eff_best:.3f}** (best-of-steady-state per config; this host
@@ -162,10 +176,10 @@ alternates between fast and slow modes run-to-run, see raw data)
 
 ## CPU-intensity probe (codegen'd xxhash64 pipeline, 2B rows)
 
-| config | median sec |
-|---|---|
-| local[8]  | {c8:.2f} |
-| local[32] | {c32:.2f} |
+| config | median sec | IQR |
+|---|---|---|
+| local[8]  | {c8:.2f} | [{c8lo:.2f}, {c8hi:.2f}] |
+| local[32] | {c32:.2f} | [{c32lo:.2f}, {c32hi:.2f}] |
 
 **Compute scaling efficiency (N -> 4N): {eff_compute:.3f}** (target >= 0.8)
 

@@ -52,6 +52,7 @@ from planar_spark.kernels.textops import (
     ngram_jaccard,
     quality_score,
     simhash,
+    winnow_fingerprints,
 )
 from planar_spark.kernels.triangles import _closed_wedges
 from planar_spark.testdata_graph import V_MOD, derive_edges
@@ -745,12 +746,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_token_stats(spark, sf_dir):
+        # whitespace tokens + a BPE-ish wordpiece count (letter runs,
+        # digit runs, and lone symbols — the pre-merge unit count a BPE
+        # tokenizer would start from)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        wp_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
         return docs.select(
             "doc_id",
             F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
             .cast("long")
             .alias("n_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(wp_re), F.lit(0)))
+            .cast("long")
+            .alias("n_wordpieces"),
         )
 
     def q_lang_stats(spark, sf_dir):
@@ -792,6 +800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash(docs, bits=32)
+
+    def q_winnow_fingerprints(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return winnow_fingerprints(docs, k=5, window=4)
 
     def q_msf(spark, sf_dir):
         from planar_spark.kernels.mst import boruvka_msf
@@ -927,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_language": q_detect_language,
         "dedup_near_clusters": q_dedup_near_clusters,
         "simhash": q_simhash,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "msf": q_msf,
         "coloring": q_coloring,
         "gnn_forward": q_gnn_forward,
@@ -1018,7 +1031,9 @@ FROM urls""",
        MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
 FROM documents GROUP BY MD5(text)""",
         "token_stats": r"""SELECT doc_id,
-       CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+       CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_wordpieces
 FROM documents""",
         "lang_stats": """SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -1050,6 +1065,35 @@ FROM pairs p
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes za ON za.doc_id = p.a
 JOIN sizes zb ON zb.doc_id = p.b""",
+        # winnowing (MOSS): per-window min of k-gram int60 hashes,
+        # window starts clamped exactly like kernels/textops.py
+        "winnow_fingerprints": r"""WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
+),
+g AS MATERIALIZED (
+    SELECT doc_id, u.i - 1 AS pos,
+           array_to_string(tokens[u.i:u.i+4], ' ') AS gram,
+           len(tokens) - 4 AS n
+    FROM toks, UNNEST(generate_series(1, len(tokens) - 4)) AS u(i)
+    WHERE len(tokens) >= 5
+    UNION ALL
+    SELECT doc_id, 0, array_to_string(tokens, ' '), 1
+    FROM toks WHERE len(tokens) < 5
+),
+h AS MATERIALIZED (
+    SELECT doc_id, pos, n,
+           CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+    FROM g
+),
+rep AS MATERIALIZED (
+    SELECT doc_id, u.w, h
+    FROM h, UNNEST(generate_series(GREATEST(pos - 3, 0),
+                                   LEAST(pos, GREATEST(n - 4, 0)))) AS u(w)
+),
+sel AS MATERIALIZED (
+    SELECT doc_id, w, MIN(h) AS fp FROM rep GROUP BY doc_id, w
+)
+SELECT DISTINCT doc_id, fp FROM sel""",
         "simhash": r"""WITH toks AS MATERIALIZED (
     SELECT doc_id,
            UNNEST(list_distinct(regexp_extract_all(text, '\S+'))) AS tok

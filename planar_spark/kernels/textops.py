@@ -170,6 +170,67 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (the MOSS scheme):
+    hash every token k-gram, slide a ``window``-wide window over the
+    hash sequence, keep each window's minimum; the distinct kept hashes
+    are the doc's fingerprint set. Guarantees every match of length
+    >= k + window - 1 tokens shares a fingerprint, with density
+    ~2/(window+1).
+
+    k-gram hash = first 15 hex digits of md5 as int60 (identical in
+    Spark's conv(.,16,10) and DuckDB's CAST('0x'|| . AS BIGINT)).
+    Window-free formulation (no per-doc Window sort, whose partition is
+    unbounded on long docs): position i's hash is replicated to the
+    window starts it participates in — w copies via explode — and the
+    per-window min is an ordinary partial-agg-able groupBy. Docs with
+    fewer than k tokens contribute their whole token string; docs with
+    fewer than k+window-1 tokens yield one window over all grams.
+    """
+    t = tokens_df(docs)
+    grams = F.when(
+        F.size("tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tokens") - k),
+            lambda i: F.array_join(F.slice("tokens", i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join("tokens", " ")))
+    g = t.select(
+        "doc_id",
+        F.size(grams).alias("n"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    h = g.select(
+        "doc_id",
+        "n",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # valid window starts containing pos: max(pos-window+1, 0) ..
+    # min(pos, max(n-window, 0)) — the upper clamp drops incomplete
+    # trailing windows (and degenerates to the single window 0 when the
+    # doc has fewer grams than the window).
+    rep = h.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (window - 1), F.lit(0)),
+                F.least(
+                    F.col("pos"),
+                    F.greatest(F.col("n") - window, F.lit(0)),
+                ),
+            )
+        ).alias("w"),
+        "h",
+    )
+    sel = rep.groupBy("doc_id", "w").agg(F.min("h").alias("fp"))
+    return sel.select("doc_id", "fp").distinct()
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -139,6 +139,51 @@ def test_multimodal_real_decode_with_pil(spark):
     assert feats["u2"][0] == pytest.approx(32 / 255.0, abs=1e-6)
 
 
+def test_winnow_fingerprints_match_python_reference(spark):
+    """Spark winnowing vs a direct pure-Python implementation of the
+    MOSS scheme (k-gram md5-int60 hashes, per-window minima, distinct),
+    including the short-doc (< k tokens) and narrow-doc (< k+window-1
+    tokens) degenerate cases."""
+    import hashlib
+
+    from planar_spark.kernels.textops import winnow_fingerprints
+
+    k, w = 5, 4
+    texts = {
+        0: "a b c d e f g h i j k l m n o p",   # plenty of windows
+        1: "one two three four five six",       # 2 grams < window -> 1 window
+        2: "tiny doc",                          # < k tokens -> whole-string gram
+        3: "a b c d e f g h i j k l m n o p",   # exact dup of 0
+        4: "",                                  # empty
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in texts.items()],
+        schema="doc_id long, text string, lang string",
+    )
+
+    def int60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_winnow(text: str) -> set[int]:
+        toks = text.split()
+        if len(toks) >= k:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            grams = [" ".join(toks)]
+        hs = [int60(g) for g in grams]
+        n = len(hs)
+        if n <= w:
+            return {min(hs)}
+        return {min(hs[p : p + w]) for p in range(n - w + 1)}
+
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(docs, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in texts.items():
+        assert got[i] == py_winnow(t), i
+    assert got[0] == got[3]  # identical docs -> identical fingerprints
+
+
 def test_near_dup_chain_merges_to_fixpoint(spark):
     """A pairwise near-dup CHAIN with pair-graph diameter 15: adjacent
     docs share 16/20 shingles (J=0.8 >= 0.7), two-apart only 14/22

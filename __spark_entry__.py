@@ -27,6 +27,7 @@ from planar_spark.graph.tables import GraphTables
 from planar_spark.ingest.build import dictionary_encode
 from planar_spark.kernels import (
     connected_components,
+    hits,
     label_propagation,
     pagerank,
     triangle_count_per_vertex,
@@ -154,6 +155,61 @@ def _pagerank_sql() -> str:
             f" LEFT JOIN ct{p} c ON b.vid = c.vid)"
         )
     parts.append(f"SELECT vid, ROUND(pr, 5) AS pr FROM it{PR_ITERS}")
+    return "\n".join(parts)
+
+
+HITS_ITERS = 4
+
+
+def _hits_sql() -> str:
+    """Unrolled HITS oracle mirroring kernels/hits.py exactly: per-phase
+    L1 normalization of the INPUT column (per-vertex division before the
+    gather sum), final L1 normalization of both columns."""
+    parts = [
+        f"WITH {_EDGES},",
+        "s0 AS MATERIALIZED (SELECT vid, 1.0 AS hub, 0.0 AS auth FROM verts)",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        p = k - 1
+        parts.append(
+            f", hs{k} AS MATERIALIZED (SELECT SUM(hub) AS s FROM s{p})"
+        )
+        parts.append(
+            f", wv{k} AS MATERIALIZED (SELECT vid, hub / hs{k}.s AS w"
+            f" FROM s{p} CROSS JOIN hs{k})"
+        )
+        parts.append(
+            f", ac{k} AS MATERIALIZED (SELECT e.dst AS vid, SUM(w.w) AS c"
+            f" FROM edges e JOIN wv{k} w ON e.src = w.vid GROUP BY e.dst)"
+        )
+        parts.append(
+            f", sa{k} AS MATERIALIZED (SELECT s.vid, s.hub,"
+            f" COALESCE(a.c, 0.0) AS auth"
+            f" FROM s{p} s LEFT JOIN ac{k} a ON s.vid = a.vid)"
+        )
+        parts.append(
+            f", as{k} AS MATERIALIZED (SELECT SUM(auth) AS s FROM sa{k})"
+        )
+        parts.append(
+            f", wa{k} AS MATERIALIZED (SELECT vid, auth / as{k}.s AS w"
+            f" FROM sa{k} CROSS JOIN as{k})"
+        )
+        parts.append(
+            f", hc{k} AS MATERIALIZED (SELECT e.src AS vid, SUM(w.w) AS c"
+            f" FROM edges e JOIN wa{k} w ON e.dst = w.vid GROUP BY e.src)"
+        )
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT s.vid,"
+            f" COALESCE(h.c, 0.0) AS hub, s.auth"
+            f" FROM sa{k} s LEFT JOIN hc{k} h ON s.vid = h.vid)"
+        )
+    k = HITS_ITERS
+    parts.append(
+        f", fin AS MATERIALIZED (SELECT SUM(hub) AS hsum, SUM(auth) AS asum"
+        f" FROM s{k})"
+        f" SELECT vid, ROUND(hub / fin.hsum, 6) AS hub,"
+        f" ROUND(auth / fin.asum, 6) AS auth FROM s{k} CROSS JOIN fin"
+    )
     return "\n".join(parts)
 
 
@@ -683,6 +739,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = pagerank(g, _cfg(), num_iterations=PR_ITERS)
         return r.state.select("vid", F.round("pr", 5).alias("pr"))
 
+    def q_hits(spark, sf_dir):
+        g = _graph(spark, sf_dir)
+        r = hits(g, _cfg(), num_iterations=HITS_ITERS)
+        return r.state.select(
+            "vid", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+        )
+
     def q_wcc(spark, sf_dir):
         g = _graph8(spark, sf_dir)
         # two-hop-seeded init (O14): fewer supersteps, identical labels
@@ -915,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "wcc": q_wcc,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
@@ -955,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
         "gnn_forward": _gnn_sql(),
         # batch derivation of the stream-produced edge table: page of
         # doc d links to docs (7d+1)%499 and (13d+2)%499 (see

@@ -6,8 +6,10 @@ from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 from planar_spark.kernels.mst import boruvka_msf
 from planar_spark.kernels.coloring import greedy_coloring
 from planar_spark.kernels.gnn import gnn_forward
+from planar_spark.kernels.hits import hits
 
 __all__ = [
+    "hits",
     "pagerank",
     "connected_components",
     "label_propagation",

@@ -1,0 +1,137 @@
+"""HITS (hubs & authorities) — Kleinberg's link-analysis kernel.
+
+The reference ships PageRank as its only link-analysis app
+(core/apps/pagerank_app.h:38-99); HITS is the other classic web-graph
+ranking and composes from the same dataflow primitives (gather over
+in-edges for authorities, over out-edges for hubs — P7/P16 in
+SURVEY.md §2.1), so we provide it as a first-class kernel:
+
+    auth_k(v) = Σ_{u→v} hub_{k-1}(u) / Σ_u hub_{k-1}(u)
+    hub_k(u)  = Σ_{u→v} auth_k(v)    / Σ_v auth_k(v)
+
+Engine mapping — one HITS iteration = TWO supersteps (auth phase, hub
+phase), so each gather's output is materialized exactly once and never
+recomputed as the input subtree of the next gather:
+
+- auth phase: normalize hub in-plan (1-row aggregate over the CACHED
+  previous state, broadcast cross-join — the dangling-mass trick from
+  pagerank.py), gather over the src-partitioned forward edges
+  (merge-join, hub-salted), groupBy(dst).sum.
+- hub phase: same shape over a reversed edge table built once, hash-
+  partitioned and sorted by the reversed src (= original dst) and
+  cached, so this gather is ALSO a zero-exchange merge join; its skew
+  set is the high IN-degree vertices.
+
+Normalizing only the input column each phase keeps every stored value
+bounded by max-degree (no growth across iterations, no per-step output
+normalization barrier); hub/auth are each defined up to a positive
+scalar, so the final one-shot L1 normalization (folded into the result
+plan as two broadcast 1-row aggregates) yields exactly the per-step-
+normalized fixpoint trajectory.
+
+Scale notes: per superstep the only shuffles are the O(V) state
+broadcast-side of the merge join and the partial-aggregated
+groupBy(dst) — one row per (task, dst). The reversed edge cache doubles
+edge storage; at 100 TB that is the price of making BOTH gathers
+co-partitioned merge joins (the alternative — shuffling the full edge
+set by dst every iteration — is strictly worse after 1 iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.skew import hub_vertices, salted_gather_join
+from planar_spark.graph.superstep import SuperstepEngine, SuperstepResult
+from planar_spark.graph.tables import GraphTables
+
+
+def hits(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    num_iterations: int = 4,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Returns state (vid, hub, auth), each column L1-normalized.
+
+    Requires a graph with at least one edge (otherwise the
+    normalizations are 0/0 by construction).
+    """
+    config = config or EngineConfig()
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+
+    fwd = graph.edges  # (src, dst), partitioned+sorted by src, cached
+    # Reversed edges, partitioned and sorted by their own src (= the
+    # forward dst) so the hub-phase gather is a merge join too.
+    rev = (
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .repartition(parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    out_hubs_df = hub_vertices(graph.degrees, config.hub_degree_threshold)
+    out_hubs = out_hubs_df if out_hubs_df.limit(1).count() > 0 else None
+    in_deg = rev.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_hubs_df = hub_vertices(in_deg, config.hub_degree_threshold)
+    in_hubs = in_hubs_df if in_hubs_df.limit(1).count() > 0 else None
+
+    base = graph.degrees.select("vid")  # one row per vertex, vid-partitioned
+
+    def init_state() -> DataFrame:
+        return base.select(
+            "vid", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+
+    def _gather(state, src_col, dst_col, edges, hubs, keep):
+        """Normalize state[src_col] in-plan, gather, return full state."""
+        norm = state.agg(F.sum(src_col).alias("_s"))
+        live = state.crossJoin(F.broadcast(norm)).select(
+            "vid", (F.col(src_col) / F.col("_s")).alias("w")
+        )
+        gathered = salted_gather_join(edges, live, config, hubs=hubs)
+        contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
+            F.sum("w").alias("_c")
+        )
+        return (
+            state.select("vid", keep)
+            .join(contribs, "vid", "left")
+            .select(
+                "vid",
+                *(
+                    [F.coalesce("_c", F.lit(0.0)).alias(dst_col), keep]
+                    if dst_col == "hub"
+                    else [keep, F.coalesce("_c", F.lit(0.0)).alias(dst_col)]
+                ),
+            )
+            .select("vid", "hub", "auth")
+        )
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
+        if k % 2 == 1:  # auth phase: gather hub over forward edges
+            return _gather(state, "hub", "auth", fwd, out_hubs, "hub"), {}
+        # hub phase: gather auth over reversed edges
+        return _gather(state, "auth", "hub", rev, in_hubs, "auth"), {}
+
+    engine = engine or SuperstepEngine(
+        spark, config, "hits",
+        lineage={"num_vertices": graph.num_vertices, "num_edges": graph.num_edges},
+    )
+    result = engine.run(init_state, step, 2 * num_iterations)
+    # Final one-shot L1 normalization, folded into the result plan.
+    sums = result.state.agg(
+        F.sum("hub").alias("_hs"), F.sum("auth").alias("_as")
+    )
+    normalized = result.state.crossJoin(F.broadcast(sums)).select(
+        "vid",
+        (F.col("hub") / F.col("_hs")).alias("hub"),
+        (F.col("auth") / F.col("_as")).alias("auth"),
+    )
+    rev.unpersist()
+    return SuperstepResult(
+        normalized, result.steps_run, result.converged, result.metrics
+    )

@@ -52,6 +52,25 @@ def oracle_pagerank(
     return pr
 
 
+def oracle_hits(
+    edges: np.ndarray, num_vertices: int, num_iterations: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Kleinberg HITS, L1-normalized each phase (input side), then a
+    final L1 normalization of both vectors — mirrors kernels/hits.py.
+    Multi-edges count multiply. Returns (hub, auth)."""
+    n = num_vertices
+    e = edges.astype(np.int64)
+    e = e[e[:, 0] != e[:, 1]]
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _ in range(num_iterations):
+        w = hub / hub.sum()
+        auth = np.bincount(e[:, 1], weights=w[e[:, 0]], minlength=n)
+        w = auth / auth.sum()
+        hub = np.bincount(e[:, 0], weights=w[e[:, 1]], minlength=n)
+    return hub / hub.sum(), auth / auth.sum()
+
+
 def oracle_components(edges: np.ndarray, num_vertices: int) -> np.ndarray:
     """Union-find; label[v] = min vid of v's undirected component."""
     parent = np.arange(num_vertices, dtype=np.int64)

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from planar_spark.ingest.pages import (
+    edges_powerlaw,
+    edges_simple4,
+    edges_star_hub,
+    edges_two_cliques,
+)
+from planar_spark.kernels.hits import hits
+from planar_spark.oracle.numpy_oracle import oracle_hits
+from tests.conftest import graph_from_numpy
+
+HITS_CASES = [
+    ("simple4", edges_simple4(), 4),
+    ("star", edges_star_hub(30), 30),
+    ("two_cliques", *edges_two_cliques(5, n_isolated=2)),
+    ("powerlaw", edges_powerlaw(120, m=2, seed=3), 120),
+]
+
+
+@pytest.mark.parametrize("name,edges,n", HITS_CASES, ids=[c[0] for c in HITS_CASES])
+def test_hits_matches_numpy(spark, config, name, edges, n):
+    g = graph_from_numpy(spark, edges, n)
+    rows = hits(g, config, num_iterations=4).state.collect()
+    hub = np.zeros(n)
+    auth = np.zeros(n)
+    for r in rows:
+        hub[r["vid"]] = r["hub"]
+        auth[r["vid"]] = r["auth"]
+    want_hub, want_auth = oracle_hits(edges, n, num_iterations=4)
+    assert np.allclose(hub, want_hub, atol=1e-9)
+    assert np.allclose(auth, want_auth, atol=1e-9)
+    # L1 normalization holds
+    assert abs(hub.sum() - 1.0) < 1e-9
+    assert abs(auth.sum() - 1.0) < 1e-9
+
+
+def test_hits_star_semantics(spark, config):
+    # Directed star hub->leaves only: the center is the only hub,
+    # leaves are the only authorities.
+    star = np.stack(
+        [np.zeros(9, dtype=np.int64), np.arange(1, 10, dtype=np.int64)], axis=1
+    )
+    g = graph_from_numpy(spark, star, 10)
+    rows = {r["vid"]: r for r in hits(g, config, num_iterations=2).state.collect()}
+    assert rows[0]["hub"] == pytest.approx(1.0)
+    assert rows[0]["auth"] == pytest.approx(0.0)
+    for v in range(1, 10):
+        assert rows[v]["auth"] == pytest.approx(1.0 / 9)
+        assert rows[v]["hub"] == pytest.approx(0.0)

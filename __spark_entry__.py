@@ -767,6 +767,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return triangle_count_per_vertex(g, _cfg())
 
+    def q_local_clustering(spark, sf_dir):
+        from planar_spark.kernels.triangles import local_clustering
+
+        g = _graph(spark, sf_dir)
+        lcc = local_clustering(g, _cfg())
+        return lcc.select(
+            "vid", "triangles", "udeg", F.round("lcc", 6).alias("lcc")
+        )
+
     def q_out_degrees(spark, sf_dir):
         g = _graph(spark, sf_dir)
         return g.degrees.select("vid", "out_deg")
@@ -983,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
+        "local_clustering": q_local_clustering,
         "out_degrees": q_out_degrees,
         "one_hop_min": q_one_hop_min,
         "two_hop_stats": q_two_hop_stats,
@@ -1059,6 +1069,21 @@ FROM documents d CROSS JOIN pos""",
 SELECT v.vid, COALESCE(c.n, CAST(0 AS BIGINT)) AS triangles
 FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS n FROM corners GROUP BY vid) c
 ON v.vid = c.vid""",
+        "local_clustering": tri_base
+        + """
+, corners AS (SELECT x AS vid FROM t UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t)
+, tc AS (SELECT v.vid, COALESCE(c.n, CAST(0 AS BIGINT)) AS triangles
+         FROM verts v LEFT JOIN
+         (SELECT vid, COUNT(*) AS n FROM corners GROUP BY vid) c
+         ON v.vid = c.vid)
+, ud AS (SELECT vid, COUNT(*) AS udeg FROM
+         (SELECT a AS vid FROM u UNION ALL SELECT b FROM u) GROUP BY vid)
+SELECT t.vid, t.triangles, COALESCE(ud.udeg, CAST(0 AS BIGINT)) AS udeg,
+       CASE WHEN COALESCE(ud.udeg, 0) >= 2
+            THEN ROUND(t.triangles * 2.0 / (ud.udeg * (ud.udeg - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM tc t LEFT JOIN ud ON t.vid = ud.vid""",
         "out_degrees": f"""WITH {_EDGES}
 SELECT v.vid, COALESCE(g.outdeg, CAST(0 AS BIGINT)) AS out_deg
 FROM verts v

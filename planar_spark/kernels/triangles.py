@@ -65,6 +65,43 @@ def triangle_count(graph: GraphTables, config: EngineConfig | None = None) -> in
     return _closed_wedges(graph, config).count()
 
 
+def local_clustering(
+    graph: GraphTables, config: EngineConfig | None = None
+) -> DataFrame:
+    """(vid, triangles, udeg, lcc): local clustering coefficient of the
+    undirected simple graph — lcc(v) = triangles(v) / C(udeg(v), 2),
+    0 where udeg < 2.
+
+    Pure composition of the oriented triangle enumeration with the
+    undirected-degree aggregate: one extra O(V) join over
+    triangle_count_per_vertex, no new shuffle shape.
+    """
+    config = config or EngineConfig()
+    und = graph.undirected_edges()
+    udeg = (
+        und.select(F.col("a").alias("vid"))
+        .unionAll(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("udeg"))
+    )
+    tri = triangle_count_per_vertex(graph, config)
+    return (
+        tri.join(udeg, "vid", "left")
+        .select(
+            "vid",
+            "triangles",
+            F.coalesce("udeg", F.lit(0)).alias("udeg"),
+            F.when(
+                F.coalesce("udeg", F.lit(0)) >= 2,
+                F.col("triangles") * 2.0
+                / (F.col("udeg") * (F.col("udeg") - F.lit(1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
 def triangle_count_per_vertex(
     graph: GraphTables, config: EngineConfig | None = None
 ) -> DataFrame:

@@ -38,6 +38,33 @@ def test_hits_matches_numpy(spark, config, name, edges, n):
     assert abs(auth.sum() - 1.0) < 1e-9
 
 
+def test_local_clustering_matches_python(spark, config):
+    from planar_spark.kernels.triangles import local_clustering
+
+    edges = edges_powerlaw(100, m=3, seed=11)
+    n = 100
+    g = graph_from_numpy(spark, edges, n)
+    rows = {r["vid"]: r for r in local_clustering(g, config).collect()}
+    # independent python reference over the undirected simple graph
+    nbrs = {v: set() for v in range(n)}
+    for s, d in edges:
+        if s != d:
+            nbrs[int(s)].add(int(d))
+            nbrs[int(d)].add(int(s))
+    for v in range(n):
+        deg = len(nbrs[v])
+        tri = sum(
+            1
+            for a in nbrs[v]
+            for b in nbrs[v]
+            if a < b and b in nbrs[a]
+        )
+        assert rows[v]["udeg"] == deg
+        assert rows[v]["triangles"] == tri
+        want = 2.0 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert rows[v]["lcc"] == pytest.approx(want)
+
+
 def test_hits_star_semantics(spark, config):
     # Directed star hub->leaves only: the center is the only hub,
     # leaves are the only authorities.

@@ -158,6 +158,50 @@ def _pagerank_sql() -> str:
     return "\n".join(parts)
 
 
+PPR_SEED_MOD = 97
+
+
+def _ppr_sql() -> str:
+    """Unrolled personalized-PageRank oracle mirroring kernels/ppr.py:
+    seed-restart teleport, dangling mass redistributed to the seeds."""
+    d = PR_DAMPING
+    parts = [
+        f"WITH {_EDGES},",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg"
+        " FROM edges GROUP BY src),",
+        "seeds AS MATERIALIZED (SELECT vid FROM verts"
+        f" WHERE vid % {PPR_SEED_MOD} = 0),",
+        "ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),",
+        "base AS MATERIALIZED (SELECT v.vid, COALESCE(g.outdeg, 0) AS outdeg,"
+        " CASE WHEN s.vid IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS reset"
+        " FROM verts v CROSS JOIN ns"
+        " LEFT JOIN deg g ON v.vid = g.vid"
+        " LEFT JOIN seeds s ON v.vid = s.vid),",
+        "it0 AS MATERIALIZED (SELECT vid, outdeg, reset, reset AS pr FROM base)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        parts.append(
+            f", dm{p} AS MATERIALIZED (SELECT COALESCE(SUM(pr), 0.0) AS m"
+            f" FROM it{p} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f", ct{p} AS MATERIALIZED (SELECT e.dst AS vid,"
+            f" SUM(p.pr / p.outdeg) AS contrib"
+            f" FROM edges e JOIN it{p} p ON e.src = p.vid"
+            f" WHERE p.outdeg > 0 GROUP BY e.dst)"
+        )
+        parts.append(
+            f", it{k} AS MATERIALIZED (SELECT b.vid, b.outdeg, b.reset,"
+            f" {1.0 - d} * b.reset"
+            f" + {d} * (COALESCE(c.contrib, 0.0) + m.m * b.reset) AS pr"
+            f" FROM base b CROSS JOIN dm{p} m"
+            f" LEFT JOIN ct{p} c ON b.vid = c.vid)"
+        )
+    parts.append(f"SELECT vid, ROUND(pr, 6) AS ppr FROM it{PR_ITERS}")
+    return "\n".join(parts)
+
+
 HITS_ITERS = 4
 
 
@@ -739,6 +783,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = pagerank(g, _cfg(), num_iterations=PR_ITERS)
         return r.state.select("vid", F.round("pr", 5).alias("pr"))
 
+    def q_ppr(spark, sf_dir):
+        from planar_spark.kernels.ppr import personalized_pagerank
+
+        g = _graph(spark, sf_dir)
+        seeds = g.vertices.select("vid").where(
+            F.col("vid") % PPR_SEED_MOD == 0
+        )
+        r = personalized_pagerank(g, seeds, _cfg(), num_iterations=PR_ITERS)
+        return r.state.select("vid", F.round("ppr", 6).alias("ppr"))
+
     def q_hits(spark, sf_dir):
         g = _graph(spark, sf_dir)
         r = hits(g, _cfg(), num_iterations=HITS_ITERS)
@@ -987,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "pagerank": q_pagerank,
+        "ppr": q_ppr,
         "hits": q_hits,
         "wcc": q_wcc,
         "lpa": q_lpa,
@@ -1029,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "pagerank": _pagerank_sql(),
+        "ppr": _ppr_sql(),
         "hits": _hits_sql(),
         "gnn_forward": _gnn_sql(),
         # batch derivation of the stream-produced edge table: page of

@@ -52,6 +52,33 @@ def oracle_pagerank(
     return pr
 
 
+def oracle_ppr(
+    edges: np.ndarray,
+    num_vertices: int,
+    seeds: list[int],
+    damping: float = 0.85,
+    num_iterations: int = 5,
+) -> np.ndarray:
+    """Personalized PageRank: seed-restart teleport, dangling mass to
+    the seeds — mirrors kernels/ppr.py. Multi-edges count multiply."""
+    n = num_vertices
+    e = edges.astype(np.int64)
+    e = e[e[:, 0] != e[:, 1]]
+    out_deg = np.bincount(e[:, 0], minlength=n).astype(np.float64)
+    reset = np.zeros(n, dtype=np.float64)
+    reset[np.asarray(sorted(set(seeds)), dtype=np.int64)] = 1.0 / len(set(seeds))
+    pr = reset.copy()
+    dangling = out_deg == 0
+    for _ in range(num_iterations):
+        w = np.zeros(n, dtype=np.float64)
+        nz = ~dangling
+        w[nz] = pr[nz] / out_deg[nz]
+        contrib = np.bincount(e[:, 1], weights=w[e[:, 0]], minlength=n)
+        dm = pr[dangling].sum()
+        pr = (1.0 - damping) * reset + damping * (contrib + dm * reset)
+    return pr
+
+
 def oracle_hits(
     edges: np.ndarray, num_vertices: int, num_iterations: int = 4
 ) -> tuple[np.ndarray, np.ndarray]:

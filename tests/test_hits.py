@@ -38,6 +38,29 @@ def test_hits_matches_numpy(spark, config, name, edges, n):
     assert abs(auth.sum() - 1.0) < 1e-9
 
 
+def test_ppr_matches_numpy_and_sums_to_one(spark, config):
+    from pyspark.sql import functions as F
+
+    from planar_spark.kernels.ppr import personalized_pagerank
+    from planar_spark.oracle.numpy_oracle import oracle_ppr
+
+    n = 120
+    edges = edges_powerlaw(n, m=2, seed=5)
+    g = graph_from_numpy(spark, edges, n)
+    seeds = [0, 7, 50]
+    sdf = g.spark.createDataFrame([(v,) for v in seeds], "vid long")
+    r = personalized_pagerank(g, sdf, config, num_iterations=5)
+    got = np.zeros(n)
+    for row in r.state.collect():
+        got[row["vid"]] = row["ppr"]
+    want = oracle_ppr(edges, n, seeds, num_iterations=5)
+    assert np.allclose(got, want, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9
+    # non-seed vertex with no in-path from seeds stays at 0 only if
+    # unreachable; seeds always retain restart mass
+    assert all(got[v] > 0 for v in seeds)
+
+
 def test_local_clustering_matches_python(spark, config):
     from planar_spark.kernels.triangles import local_clustering
 

@@ -161,6 +161,71 @@ def _pagerank_sql() -> str:
 PPR_SEED_MOD = 97
 
 
+def _repetition_sql() -> str:
+    """Mirror of textops.repetition_stats: word \\S+ tokens, bigram
+    top-fraction and trigram duplicate-fraction per doc."""
+    return r"""WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+g2 AS MATERIALIZED (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM toks, UNNEST(generate_series(1, LEN(t) - 1)) AS u(i)
+    WHERE LEN(t) >= 2
+),
+b AS MATERIALIZED (
+    SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot2 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+    ) GROUP BY doc_id
+),
+g3 AS MATERIALIZED (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+    FROM toks, UNNEST(generate_series(1, LEN(t) - 2)) AS u(i)
+    WHERE LEN(t) >= 3
+),
+tr AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ndist,
+           CAST(SUM(c) AS BIGINT) AS tot3 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g
+    ) GROUP BY doc_id
+)
+SELECT k.doc_id, CAST(LEN(k.t) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(CAST(b.mx AS DOUBLE) / b.tot2, 0.0), 6)
+           AS top_bigram_frac,
+       ROUND(COALESCE(CAST(tr.tot3 - tr.ndist AS DOUBLE) / tr.tot3, 0.0), 6)
+           AS dup_trigram_frac
+FROM toks k
+LEFT JOIN b ON k.doc_id = b.doc_id
+LEFT JOIN tr ON k.doc_id = tr.doc_id"""
+
+
+def _corpus_dedup_sql(n: int = 5) -> str:
+    """Mirror of textops.corpus_ngram_dedup over shingles_df(n) —
+    including the short-doc whole-text fallback."""
+    return rf"""WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+    FROM toks, UNNEST(generate_series(1, LEN(t) - {n - 1})) AS u(i)
+    WHERE LEN(t) >= {n}
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(t, ' ') AS g
+    FROM toks WHERE LEN(t) < {n}
+),
+df AS MATERIALIZED (
+    SELECT g, COUNT(*) AS dfreq FROM sh GROUP BY g
+),
+per AS MATERIALIZED (
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+    FROM sh s JOIN df d ON s.g = d.g GROUP BY s.doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       ROUND(CAST(n_dup_grams AS DOUBLE) / n_grams, 6) AS dup_frac
+FROM per"""
+
+
 def _ppr_sql() -> str:
     """Unrolled personalized-PageRank oracle mirroring kernels/ppr.py:
     seed-restart teleport, dangling mass redistributed to the seeds."""
@@ -911,6 +976,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_ann_topk(emb, query_mod=100, k=5)
 
+    def q_repetition_stats(spark, sf_dir):
+        from planar_spark.kernels.textops import repetition_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return repetition_stats(docs)
+
+    def q_corpus_ngram_dedup(spark, sf_dir):
+        from planar_spark.kernels.textops import corpus_ngram_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return corpus_ngram_dedup(docs, n=5)
+
     def q_quality_score(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return quality_score(docs)
@@ -1065,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_topk": q_embedding_ann_topk,
         "multimodal_decode": q_multimodal_decode,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "corpus_ngram_dedup": q_corpus_ngram_dedup,
         "detect_language": q_detect_language,
         "dedup_near_clusters": q_dedup_near_clusters,
         "simhash": q_simhash,
@@ -1105,6 +1184,8 @@ FROM d""",
         "kcore": _kcore_sql(),
         "embedding_ann_topk": _ann_sql(),
         "quality_score": _quality_sql(),
+        "repetition_stats": _repetition_sql(),
+        "corpus_ngram_dedup": _corpus_dedup_sql(5),
         "detect_language": _langid_sql(),
         "dedup_near_clusters": _near_dup_sql(),
         "multimodal_decode": """WITH pos AS (

@@ -432,6 +432,98 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top_bigram_frac, dup_trigram_frac) —
+    Gopher-style repetition quality signals: the fraction of word
+    bigram instances taken by the single most frequent bigram, and the
+    fraction of word trigram instances that are repeats of an earlier
+    trigram in the same doc. High values flag boilerplate / template /
+    keyword-stuffed pages for corpus filtering.
+
+    Scale shape: n-grams stay an in-row array transform (JVM-side, no
+    UDF); the only shuffles are partial-agg groupBys keyed by
+    (doc_id, gram) then doc_id — one reduced row per key either way.
+    """
+    t = tokens_df(docs)
+
+    def grams(n: int):
+        return F.when(
+            F.size("tokens") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - n),
+                lambda i: F.array_join(F.slice("tokens", i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bi = (
+        t.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot2"))
+    )
+    tri = (
+        t.select("doc_id", F.explode(grams(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ndist"), F.sum("c").alias("tot3"))
+    )
+    return (
+        t.select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+        .join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.coalesce(F.col("mx") / F.col("tot2"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    (F.col("tot3") - F.col("ndist")) / F.col("tot3"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def corpus_ngram_dedup(docs: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, n_grams, n_dup_grams, dup_frac) — C4-style cross-doc
+    duplication: for each doc, how many of its DISTINCT word n-grams
+    also occur in at least one other document. dup_frac near 1 marks a
+    doc as mostly boilerplate shared with the rest of the corpus —
+    the aggregate view a span-level dedup pass would act on.
+
+    Shares shingles_df with the MinHash pipeline (short docs fall back
+    to their whole token string). Scale shape: doc-frequency is a
+    partial-agg groupBy(shingle); the shingle⋈docfreq join is the
+    standard big-big hash join on the shingle key (both sides shuffle
+    once, co-partitioned).
+    """
+    sh = shingles_df(docs, n).persist()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    per = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("dfreq") > 1, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    out = per.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+    )
+    return out
+
+
 def detect_language(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang) — stopword-list language ID: the language
     whose stopword list covers the largest fraction of the doc's tokens

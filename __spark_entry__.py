@@ -899,6 +899,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return g.degrees.select("vid", "out_deg")
 
+    def q_degree_histogram(spark, sf_dir):
+        from planar_spark.kernels.graphstats import degree_histogram
+
+        return degree_histogram(_graph(spark, sf_dir))
+
+    def q_reciprocity(spark, sf_dir):
+        from planar_spark.kernels.graphstats import reciprocity
+
+        return reciprocity(_graph(spark, sf_dir))
+
     def q_one_hop_min(spark, sf_dir):
         return one_hop_min(_graph(spark, sf_dir))
 
@@ -1126,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_per_vertex": q_triangle_per_vertex,
         "local_clustering": q_local_clustering,
         "out_degrees": q_out_degrees,
+        "degree_histogram": q_degree_histogram,
+        "reciprocity": q_reciprocity,
         "one_hop_min": q_one_hop_min,
         "two_hop_stats": q_two_hop_stats,
         "sssp": q_sssp,
@@ -1226,6 +1238,26 @@ SELECT v.vid, COALESCE(g.outdeg, CAST(0 AS BIGINT)) AS out_deg
 FROM verts v
 LEFT JOIN (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src) g
 ON v.vid = g.vid""",
+        "degree_histogram": f"""WITH {_EDGES},
+deg AS MATERIALIZED (
+    SELECT v.vid, COALESCE(g.outdeg, CAST(0 AS BIGINT)) AS out_deg
+    FROM verts v LEFT JOIN
+    (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src) g
+    ON v.vid = g.vid
+)
+SELECT CAST(LENGTH(bin(out_deg + 1)) - 1 AS BIGINT) AS bucket,
+       COUNT(*) AS n_vertices
+FROM deg GROUP BY bucket""",
+        "reciprocity": f"""WITH {_EDGES},
+r AS MATERIALIZED (
+    SELECT COUNT(*) AS n FROM edges e
+    WHERE EXISTS (SELECT 1 FROM edges x
+                  WHERE x.src = e.dst AND x.dst = e.src)
+),
+t AS MATERIALIZED (SELECT COUNT(*) AS n FROM edges)
+SELECT t.n AS n_edges, r.n AS n_reciprocal,
+       ROUND(CAST(r.n AS DOUBLE) / t.n, 6) AS reciprocity
+FROM t CROSS JOIN r""",
         "one_hop_min": f"""WITH {_EDGES}
 SELECT src AS vid, MIN(dst) AS min_nbr FROM edges GROUP BY src""",
         "two_hop_stats": f"""WITH {_EDGES},

@@ -1,0 +1,54 @@
+"""Whole-graph summary statistics for web-graph profiling.
+
+The reference exposes per-vertex degree arrays (SURVEY.md §2.1 P20);
+these kernels are the corpus-level profiling views a crawl operator
+derives from them: the degree distribution (log2-bucketed, the standard
+power-law diagnostic) and edge reciprocity (fraction of directed links
+whose reverse also exists — a crawl-quality / spam signal).
+
+Both are single-pass aggregations: no iteration, no windows, partial
+aggregation everywhere. The log2 bucket is computed with exact integer
+logic (binary-digit count), not floating log2, so results hash
+identically across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from planar_spark.graph.tables import GraphTables
+
+
+def degree_histogram(graph: GraphTables) -> DataFrame:
+    """(bucket, n_vertices): bucket = floor(log2(out_deg + 1)), so
+    bucket 0 holds dangling vertices, bucket k degrees in
+    [2^k - 1, 2^(k+1) - 2]."""
+    # digits(bin(x)) - 1 == floor(log2(x)) exactly, for x >= 1
+    bucket = (
+        F.length(F.conv((F.col("out_deg") + 1).cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        graph.degrees.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def reciprocity(graph: GraphTables) -> DataFrame:
+    """One row (n_edges, n_reciprocal, reciprocity) over the distinct
+    directed edge set: n_reciprocal counts edges (u,v) with (v,u) also
+    present. Self-loops are already dropped by GraphTables."""
+    e = graph.edges.select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(F.col("n_reciprocal") / F.col("n_edges"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )

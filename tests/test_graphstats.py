@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import numpy as np
+
+from planar_spark.kernels.graphstats import degree_histogram, reciprocity
+from tests.conftest import graph_from_numpy
+
+
+def test_degree_histogram_buckets(spark):
+    # degrees: v0 -> 3 out-edges, v1 -> 1, v2..v4 -> 0
+    edges = np.array([[0, 1], [0, 2], [0, 3], [1, 0]], dtype=np.int64)
+    g = graph_from_numpy(spark, edges, 5)
+    got = {r["bucket"]: r["n_vertices"] for r in degree_histogram(g).collect()}
+    # out_deg+1: 4 -> bucket 2; 2 -> bucket 1; 1 -> bucket 0 (x3)
+    assert got == {2: 1, 1: 1, 0: 3}
+
+
+def test_reciprocity_half(spark):
+    # (0,1) reciprocated, (0,2) not -> 2 of 3 directed edges reciprocal
+    edges = np.array([[0, 1], [1, 0], [0, 2]], dtype=np.int64)
+    g = graph_from_numpy(spark, edges, 3)
+    row = reciprocity(g).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_reciprocal"] == 2
+    assert abs(row["reciprocity"] - round(2 / 3, 6)) < 1e-12

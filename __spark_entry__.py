@@ -267,6 +267,24 @@ def _ppr_sql() -> str:
     return "\n".join(parts)
 
 
+def _scc_sql() -> str:
+    """EXACT (non-unrolled) SCC oracle: DuckDB recursive transitive
+    closure; scc_id(u) = min over {u} ∪ {w : u↔w mutually reachable}.
+    Independent of the kernel's round structure by construction."""
+    return f"""WITH RECURSIVE {_EDGES},
+reach(s, t) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.s, e.dst FROM reach r JOIN edges e ON r.t = e.src
+),
+pairs AS MATERIALIZED (
+    SELECT a.s AS u, a.t AS w FROM reach a
+    JOIN reach b ON a.s = b.t AND a.t = b.s
+)
+SELECT v.vid, LEAST(COALESCE(MIN(p.w), v.vid), v.vid) AS scc_id
+FROM verts v LEFT JOIN pairs p ON v.vid = p.u GROUP BY v.vid"""
+
+
 HITS_ITERS = 4
 
 
@@ -858,6 +876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = personalized_pagerank(g, seeds, _cfg(), num_iterations=PR_ITERS)
         return r.state.select("vid", F.round("ppr", 6).alias("ppr"))
 
+    def q_scc(spark, sf_dir):
+        from planar_spark.kernels.scc import strongly_connected_components
+
+        g = _graph(spark, sf_dir)
+        return strongly_connected_components(g, _cfg())
+
     def q_hits(spark, sf_dir):
         g = _graph(spark, sf_dir)
         r = hits(g, _cfg(), num_iterations=HITS_ITERS)
@@ -1131,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "hits": q_hits,
         "wcc": q_wcc,
+        "scc": q_scc,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
@@ -1208,6 +1233,7 @@ SELECT d.doc_id, CAST(pos.p AS BIGINT) AS pos,
        / 256.0 AS val
 FROM documents d CROSS JOIN pos""",
         "wcc": _wcc_sql(),
+        "scc": _scc_sql(),
         "lpa": _lpa_sql(),
         "triangle_count": tri_base
         + "\nSELECT COUNT(*) AS n_triangles FROM t",

@@ -1,0 +1,194 @@
+"""Strongly connected components — web bow-tie analysis.
+
+Not shipped by the reference (its components app is undirected WCC,
+core/apps/wcc_app.cpp); SCC is the canonical DIRECTED companion for
+link graphs (Broder's bow-tie study) and composes from the same
+dataflow primitives, so we provide it as a first-class kernel.
+
+Algorithm: trimming + min-label forward coloring + backward sweep
+(the Orzan coloring / FW-BW family — the standard distributed SCC
+shape; Tarjan-style DFS does not parallelize). Per outer round:
+
+  1. TRIM: a vertex with no active in-edges or no active out-edges can
+     sit on no cycle — assign it its own singleton SCC. Iterate to a
+     fixpoint (chains of tendrils cascade).
+  2. COLOR: propagate color(v) = min active vid that reaches v, to a
+     fixpoint (monotone hash-min over in-edges, same shape as WCC).
+  3. SWEEP: roots are vertices with color(v) == vid. Every vertex of
+     color r that reaches r BACKWARD through vertices of the same
+     color is exactly SCC(r) (proof sketch in scc_assign below). All
+     color classes sweep simultaneously. Assign and deactivate.
+
+Each inner fixpoint round is one localCheckpoint job whose convergence
+count rides the materialization as an Observation (no standalone
+count() actions — same barrier diet as mst.py / components.py). All
+joins are hash joins on vid/src/dst keys with partial aggregation; no
+windows, no collects beyond the per-round observed scalars.
+
+Scale notes: web graphs have one giant SCC + shallow tendrils, so the
+expected shape is 1-2 trim fixpoints, a coloring fixpoint bounded by
+the active diameter, one sweep, and 2-3 outer rounds. Trimming first
+shrinks the coloring's edge set by the tendril mass (typically ~half
+of a crawl). scc_id = min vid of the component, matching WCC labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import releaf
+from planar_spark.graph.tables import GraphTables
+
+
+def _ckpt(df: DataFrame, obs: Observation | None = None, metric=None):
+    if obs is not None:
+        df = df.observe(obs, metric)
+    return releaf(df.localCheckpoint(eager=True))
+
+
+def strongly_connected_components(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    max_outer: int = 25,
+    max_inner: int = 120,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """Returns (vid, scc_id) for every vertex; scc_id = min vid of the
+    strongly connected component (singletons map to themselves)."""
+    config = config or EngineConfig()
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+
+    edges0 = graph.edges.select("src", "dst").distinct()
+    active = _ckpt(
+        graph.vertices.select("vid").repartition(parts, "vid")
+    )
+    assigned_parts: list[DataFrame] = []
+    outer_rounds = 0
+    inner_jobs = 0
+
+    for _ in range(max_outer):
+        outer_rounds += 1
+        # Active edge set: both endpoints still unassigned.
+        a_src = active.select(F.col("vid").alias("src"))
+        a_dst = active.select(F.col("vid").alias("dst"))
+        e_act = _ckpt(
+            edges0.join(a_src, "src", "left_semi")
+            .join(a_dst, "dst", "left_semi")
+            .repartition(parts, "src")
+        )
+
+        # ---- 1. TRIM to a fixpoint -------------------------------
+        while True:
+            has_out = e_act.select("src").distinct()
+            has_in = e_act.select("dst").distinct()
+            keep = (
+                active.join(
+                    has_out, active["vid"] == has_out["src"], "left_semi"
+                ).join(has_in, active["vid"] == has_in["dst"], "left_semi")
+            )
+            trimmed = active.join(keep, "vid", "left_anti").select(
+                "vid", F.col("vid").alias("scc_id")
+            )
+            obs = Observation()
+            trimmed = _ckpt(trimmed, obs, F.count(F.lit(1)).alias("n"))
+            inner_jobs += 1
+            if int(obs.get["n"] or 0) == 0:
+                break
+            assigned_parts.append(trimmed)
+            active = _ckpt(active.join(trimmed.select("vid"), "vid", "left_anti"))
+            t_src = trimmed.select(F.col("vid").alias("src"))
+            t_dst = trimmed.select(F.col("vid").alias("dst"))
+            e_act = _ckpt(
+                e_act.join(t_src, "src", "left_anti")
+                .join(t_dst, "dst", "left_anti")
+            )
+
+        obs_a = Observation()
+        active = _ckpt(active, obs_a, F.count(F.lit(1)).alias("n"))
+        inner_jobs += 1
+        if int(obs_a.get["n"] or 0) == 0:
+            break
+
+        # ---- 2. COLOR: min reaching vid, hash-min fixpoint -------
+        color = _ckpt(active.select("vid", F.col("vid").alias("color")))
+        for _p in range(max_inner):
+            msg = (
+                e_act.join(
+                    color.select(
+                        F.col("vid").alias("src"), F.col("color").alias("c")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.min("c").alias("mc"))
+            )
+            obs = Observation()
+            color = _ckpt(
+                color.join(msg, "vid", "left").select(
+                    "vid",
+                    F.least(
+                        F.col("color"), F.coalesce("mc", F.col("color"))
+                    ).alias("color"),
+                    (F.coalesce("mc", F.col("color")) < F.col("color"))
+                    .cast("long")
+                    .alias("_moved"),
+                ),
+                obs,
+                F.sum("_moved").alias("changed"),
+            ).drop("_moved")
+            inner_jobs += 1
+            if int(obs.get["changed"] or 0) == 0:
+                break
+
+        # ---- 3. SWEEP: backward reach of each root in its color --
+        # marked(vid, scc): grows from the roots; a vertex joins when
+        # one of its out-edges lands on a marked vertex of its OWN
+        # color. Sketch: color(v)==r means r reaches v and r is the min
+        # such vid; if v also reaches r then every vertex on the v→r
+        # path is reached by r and reaches r, hence colored r — so the
+        # whole path is swept and membership == SCC(r) exactly.
+        marked = _ckpt(
+            color.where(F.col("color") == F.col("vid")).select(
+                "vid", F.col("color").alias("scc")
+            )
+        )
+        frontier = marked
+        for _s in range(max_inner):
+            cand = (
+                e_act.join(
+                    frontier.select(
+                        F.col("vid").alias("dst"), F.col("scc").alias("s")
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("vid"), F.col("s").alias("scc"))
+                .distinct()
+            )
+            valid = cand.join(
+                color,
+                (cand["vid"] == color["vid"]) & (cand["scc"] == color["color"]),
+                "left_semi",
+            )
+            new = valid.join(marked.select("vid"), "vid", "left_anti")
+            obs = Observation()
+            new = _ckpt(new, obs, F.count(F.lit(1)).alias("n"))
+            inner_jobs += 1
+            if int(obs.get["n"] or 0) == 0:
+                break
+            marked = _ckpt(marked.unionAll(new))
+            frontier = new
+
+        assigned_parts.append(marked.select("vid", F.col("scc").alias("scc_id")))
+        active = _ckpt(active.join(marked.select("vid"), "vid", "left_anti"))
+
+    if metrics_out is not None:
+        metrics_out["outer_rounds"] = outer_rounds
+        metrics_out["inner_jobs"] = inner_jobs
+    if not assigned_parts:
+        return spark.createDataFrame([], schema="vid long, scc_id long")
+    out = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        out = out.unionAll(part)
+    return out

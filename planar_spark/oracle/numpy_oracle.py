@@ -52,6 +52,52 @@ def oracle_pagerank(
     return pr
 
 
+def oracle_scc(edges: np.ndarray, num_vertices: int) -> np.ndarray:
+    """Kosaraju with iterative DFS; scc_id = min vid of the component."""
+    n = num_vertices
+    e = _dedupe(edges)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    radj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in e:
+        adj[int(s)].append(int(d))
+        radj[int(d)].append(int(s))
+    order: list[int] = []
+    seen = np.zeros(n, dtype=bool)
+    for v0 in range(n):
+        if seen[v0]:
+            continue
+        stack = [(v0, 0)]
+        seen[v0] = True
+        while stack:
+            v, i = stack.pop()
+            if i < len(adj[v]):
+                stack.append((v, i + 1))
+                w = adj[v][i]
+                if not seen[w]:
+                    seen[w] = True
+                    stack.append((w, 0))
+            else:
+                order.append(v)
+    label = np.full(n, -1, dtype=np.int64)
+    for v0 in reversed(order):
+        if label[v0] >= 0:
+            continue
+        comp = [v0]
+        label[v0] = v0
+        stack = [v0]
+        while stack:
+            v = stack.pop()
+            for w in radj[v]:
+                if label[w] < 0:
+                    label[w] = v0
+                    comp.append(w)
+                    stack.append(w)
+        m = min(comp)
+        for v in comp:
+            label[v] = m
+    return label
+
+
 def oracle_ppr(
     edges: np.ndarray,
     num_vertices: int,

@@ -183,9 +183,24 @@ def main() -> None:
         near_dup_clusters,
     )
 
+    from planar_spark.kernels.hits import hits
+    from planar_spark.kernels.ppr import personalized_pagerank
+    from planar_spark.kernels.scc import strongly_connected_components
+
     timed_extra("msf", lambda: boruvka_msf(g, cfg).count())
     timed_extra("kcore", lambda: k_core(g, k=8, config=cfg).count())
     timed_extra("coloring", lambda: greedy_coloring(g, cfg).count())
+    timed_extra("scc", lambda: strongly_connected_components(g, cfg).count())
+    timed_extra("hits", lambda: hits(g, cfg, num_iterations=4).state.count())
+    timed_extra(
+        "ppr",
+        lambda: personalized_pagerank(
+            g,
+            g.vertices.select(F.col("vid")).where(F.col("vid") % 97 == 0),
+            cfg,
+            num_iterations=PR_ITERS,
+        ).state.count(),
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -35,6 +35,7 @@ from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 KERNELS = (
     "pagerank", "wcc", "lpa", "triangles", "sssp",
     "msf", "coloring", "khop", "randomwalk", "kcore",
+    "scc", "hits", "ppr", "lcc",
 )
 
 
@@ -108,6 +109,30 @@ def main() -> None:
         from planar_spark.kernels.kcore import k_core
 
         out, meta = k_core(g, k=args.k, config=cfg), None
+    elif args.kernel == "scc":
+        from planar_spark.kernels.scc import strongly_connected_components
+
+        out, meta = strongly_connected_components(g, cfg), None
+    elif args.kernel == "hits":
+        from planar_spark.kernels.hits import hits
+
+        r = hits(g, cfg, num_iterations=args.iterations or 4,
+                 engine=engine("hits"))
+        out, meta = r.state, r
+    elif args.kernel == "ppr":
+        from planar_spark.kernels.ppr import personalized_pagerank
+
+        seeds = g.vertices.select("vid").where(
+            F.col("vid") % 97 == 0
+        )
+        r = personalized_pagerank(g, seeds, cfg,
+                                  num_iterations=args.iterations,
+                                  engine=engine("ppr"))
+        out, meta = r.state.select("vid", "ppr"), r
+    elif args.kernel == "lcc":
+        from planar_spark.kernels.triangles import local_clustering
+
+        out, meta = local_clustering(g, cfg), None
     elif args.kernel == "khop":
         from planar_spark.kernels.neighborhood import khop_risk
 

@@ -121,7 +121,7 @@ def hits(
         spark, config, "hits",
         lineage={"num_vertices": graph.num_vertices, "num_edges": graph.num_edges},
     )
-    result = engine.run(init_state, step, 2 * num_iterations)
+    result = engine.run(init_state, step, 2 * num_iterations, resume=resume)
     # Final one-shot L1 normalization, folded into the result plan.
     sums = result.state.agg(
         F.sum("hub").alias("_hs"), F.sum("auth").alias("_as")

@@ -285,6 +285,89 @@ SELECT v.vid, LEAST(COALESCE(MIN(p.w), v.vid), v.vid) AS scc_id
 FROM verts v LEFT JOIN pairs p ON v.vid = p.u GROUP BY v.vid"""
 
 
+BOWTIE_WCC_ROUNDS = 12  # >= undirected eccentricity of the main graph (8)
+
+
+def _bowtie_sql() -> str:
+    """Bow-tie oracle from the exact closure: core = largest SCC (tie:
+    min id), in/out from directed reach, tendril from an unrolled
+    min-label WCC, disconnected otherwise."""
+    parts = [
+        f"WITH RECURSIVE {_EDGES},",
+        """reach(s, t) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.s, e.dst FROM reach r JOIN edges e ON r.t = e.src
+),
+pairs AS MATERIALIZED (
+    SELECT a.s AS u, a.t AS w FROM reach a
+    JOIN reach b ON a.s = b.t AND a.t = b.s
+),
+scc AS MATERIALIZED (
+    SELECT v.vid, LEAST(COALESCE(MIN(p.w), v.vid), v.vid) AS scc_id
+    FROM verts v LEFT JOIN pairs p ON v.vid = p.u GROUP BY v.vid
+),
+core_id AS MATERIALIZED (
+    SELECT scc_id FROM (SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id)
+    ORDER BY n DESC, scc_id ASC LIMIT 1
+),
+core AS MATERIALIZED (
+    SELECT vid FROM scc WHERE scc_id = (SELECT scc_id FROM core_id)
+),
+fwd AS MATERIALIZED (
+    -- NOTE: inside WITH RECURSIVE, DuckDB 1.0 treats a CTE body with a
+    -- TOP-LEVEL `UNION` as recursive-shaped and does not dedup across
+    -- the arms; nest the UNION ALL under an outer DISTINCT instead.
+    SELECT DISTINCT vid FROM (
+        SELECT r.t AS vid FROM reach r JOIN core c ON r.s = c.vid
+        UNION ALL SELECT vid FROM core
+    )
+),
+bwd AS MATERIALIZED (
+    SELECT DISTINCT vid FROM (
+        SELECT r.s AS vid FROM reach r JOIN core c ON r.t = c.vid
+        UNION ALL SELECT vid FROM core
+    )
+),
+s AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    )
+),
+l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)""",
+    ]
+    for k in range(1, BOWTIE_WCC_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f", m{k} AS MATERIALIZED (SELECT s.b AS vid, MIN(l.label) AS ml"
+            f" FROM s JOIN l{p} l ON s.a = l.vid GROUP BY s.b)"
+        )
+        parts.append(
+            f", l{k} AS MATERIALIZED (SELECT l.vid,"
+            f" LEAST(l.label, COALESCE(m.ml, l.label)) AS label"
+            f" FROM l{p} l LEFT JOIN m{k} m ON l.vid = m.vid)"
+        )
+    w = BOWTIE_WCC_ROUNDS
+    parts.append(
+        f""", core_wcc AS MATERIALIZED (
+    SELECT MIN(l.label) AS lab FROM l{w} l JOIN core c ON l.vid = c.vid
+)
+SELECT v.vid,
+       CASE WHEN c.vid IS NOT NULL THEN 'core'
+            WHEN b.vid IS NOT NULL THEN 'in'
+            WHEN f.vid IS NOT NULL THEN 'out'
+            WHEN l.label = (SELECT lab FROM core_wcc) THEN 'tendril'
+            ELSE 'disconnected' END AS region
+FROM verts v
+LEFT JOIN core c ON v.vid = c.vid
+LEFT JOIN bwd b ON v.vid = b.vid
+LEFT JOIN fwd f ON v.vid = f.vid
+LEFT JOIN l{w} l ON v.vid = l.vid"""
+    )
+    return "\n".join(parts)
+
+
 HITS_ITERS = 4
 
 
@@ -882,6 +965,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return strongly_connected_components(g, _cfg())
 
+    def q_bowtie(spark, sf_dir):
+        from planar_spark.kernels.scc import bowtie_regions
+
+        g = _graph(spark, sf_dir)
+        return bowtie_regions(g, _cfg())
+
     def q_hits(spark, sf_dir):
         g = _graph(spark, sf_dir)
         r = hits(g, _cfg(), num_iterations=HITS_ITERS)
@@ -1156,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "wcc": q_wcc,
         "scc": q_scc,
+        "bowtie": q_bowtie,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
@@ -1234,6 +1324,7 @@ SELECT d.doc_id, CAST(pos.p AS BIGINT) AS pos,
 FROM documents d CROSS JOIN pos""",
         "wcc": _wcc_sql(),
         "scc": _scc_sql(),
+        "bowtie": _bowtie_sql(),
         "lpa": _lpa_sql(),
         "triangle_count": tri_base
         + "\nSELECT COUNT(*) AS n_triangles FROM t",

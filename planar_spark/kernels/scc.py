@@ -192,3 +192,94 @@ def strongly_connected_components(
     for part in assigned_parts[1:]:
         out = out.unionAll(part)
     return out
+
+
+def _bfs_reach(edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
+    """All vids reachable from seeds (inclusive) following edges
+    src→dst; frontier semi-join per level, convergence observed on the
+    level's own checkpoint job."""
+    reached = _ckpt(seeds.select("vid"))
+    frontier = reached
+    for _ in range(max_depth):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("vid").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+            .join(reached, "vid", "left_anti")
+        )
+        obs = Observation()
+        nxt = _ckpt(nxt, obs, F.count(F.lit(1)).alias("n"))
+        if int(obs.get["n"] or 0) == 0:
+            break
+        reached = _ckpt(reached.unionAll(nxt))
+        frontier = nxt
+    return reached
+
+
+def bowtie_regions(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    max_depth: int = 120,
+) -> DataFrame:
+    """Broder bow-tie decomposition: (vid, region) with region in
+    {'core', 'in', 'out', 'tendril', 'disconnected'}.
+
+    core    = the largest SCC (ties broken by min scc_id);
+    in/out  = reaches / is reached from the core (directed BFS both
+              ways; IN∩OUT is empty by definition — mutual reach would
+              put the vertex in the core);
+    tendril = weakly connected to the core but none of the above
+              (Broder's TENDRILS + TUBES, collapsed);
+    disconnected = everything else.
+
+    Three sub-computations reuse existing kernels: the SCC labels, two
+    frontier BFS sweeps, and a WCC run for the weak-component test.
+    The only driver-side scalar is the core's (scc_id, wcc label) pick.
+    """
+    from planar_spark.kernels.components import connected_components
+
+    config = config or EngineConfig()
+
+    labels = strongly_connected_components(graph, config)
+    labels = _ckpt(labels)
+    core_id = (
+        labels.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc_id"))
+        .limit(1)
+        .collect()[0]["scc_id"]
+    )
+    core = _ckpt(labels.where(F.col("scc_id") == core_id).select("vid"))
+
+    edges = graph.edges.select("src", "dst").distinct()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd_reach = _bfs_reach(edges, core, max_depth)   # core ∪ OUT
+    bwd_reach = _bfs_reach(rev, core, max_depth)     # core ∪ IN
+
+    wcc = connected_components(graph, config, two_hop_init=True).state
+    core_wcc = (
+        wcc.join(core, "vid", "left_semi").agg(F.min("label")).collect()[0][0]
+    )
+
+    return (
+        graph.vertices.select("vid")
+        .join(core.withColumn("_c", F.lit(1)), "vid", "left")
+        .join(
+            bwd_reach.select("vid").withColumn("_i", F.lit(1)), "vid", "left"
+        )
+        .join(
+            fwd_reach.select("vid").withColumn("_o", F.lit(1)), "vid", "left"
+        )
+        .join(wcc.select("vid", "label"), "vid", "left")
+        .select(
+            "vid",
+            F.when(F.col("_c").isNotNull(), F.lit("core"))
+            .when(F.col("_i").isNotNull(), F.lit("in"))
+            .when(F.col("_o").isNotNull(), F.lit("out"))
+            .when(F.col("label") == F.lit(core_wcc), F.lit("tendril"))
+            .otherwise(F.lit("disconnected"))
+            .alias("region"),
+        )
+    )

@@ -45,6 +45,24 @@ def test_scc_matches_kosaraju(spark, config, name, edges, n):
     assert np.array_equal(got, want)
 
 
+def test_bowtie_regions(spark, config):
+    from planar_spark.kernels.scc import bowtie_regions
+
+    edges, n = bowtie_edges()
+    # add 1 -> 2: vertex 2 becomes a tendril off the IN region
+    edges = np.concatenate([edges, np.array([[1, 2]], dtype=np.int64)])
+    g = graph_from_numpy(spark, edges, n)
+    got = {r["vid"]: r["region"] for r in bowtie_regions(g, config).collect()}
+    want = {
+        3: "core", 4: "core", 5: "core",
+        0: "in", 1: "in",
+        6: "out", 7: "out",
+        2: "tendril",
+        8: "disconnected", 9: "disconnected", 10: "disconnected",
+    }
+    assert got == want
+
+
 def test_scc_metrics_shape(spark, config):
     edges, n = bowtie_edges()
     g = graph_from_numpy(spark, edges, n)

@@ -368,6 +368,31 @@ LEFT JOIN l{w} l ON v.vid = l.vid"""
     return "\n".join(parts)
 
 
+NF_RADIUS = 3
+
+
+def _nf_sql() -> str:
+    """Unrolled exact neighborhood-function oracle: distinct reachable
+    pairs within NF_RADIUS hops, counted per source."""
+    parts = [
+        f"WITH {_EDGES},",
+        "p0 AS MATERIALIZED (SELECT vid, vid AS t FROM verts)",
+    ]
+    for k in range(1, NF_RADIUS + 1):
+        p = k - 1
+        parts.append(
+            f", p{k} AS MATERIALIZED (SELECT DISTINCT vid, t FROM ("
+            f"SELECT vid, t FROM p{p}"
+            f" UNION ALL"
+            f" SELECT p.vid, e.dst AS t FROM p{p} p JOIN edges e ON p.t = e.src"
+            f"))"
+        )
+    parts.append(
+        f"SELECT vid, COUNT(*) AS nf FROM p{NF_RADIUS} GROUP BY vid"
+    )
+    return "\n".join(parts)
+
+
 HITS_ITERS = 4
 
 
@@ -965,6 +990,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return strongly_connected_components(g, _cfg())
 
+    def q_neighborhood_function(spark, sf_dir):
+        from planar_spark.kernels.hyperball import neighborhood_function_exact
+
+        g = _graph(spark, sf_dir)
+        return neighborhood_function_exact(g, NF_RADIUS, _cfg())
+
     def q_bowtie(spark, sf_dir):
         from planar_spark.kernels.scc import bowtie_regions
 
@@ -1246,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": q_wcc,
         "scc": q_scc,
         "bowtie": q_bowtie,
+        "neighborhood_function": q_neighborhood_function,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
@@ -1325,6 +1357,7 @@ FROM documents d CROSS JOIN pos""",
         "wcc": _wcc_sql(),
         "scc": _scc_sql(),
         "bowtie": _bowtie_sql(),
+        "neighborhood_function": _nf_sql(),
         "lpa": _lpa_sql(),
         "triangle_count": tri_base
         + "\nSELECT COUNT(*) AS n_triangles FROM t",

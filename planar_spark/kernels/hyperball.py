@@ -1,0 +1,117 @@
+"""Neighborhood function / HyperBall — distance profiling of a web graph.
+
+N(v, r) = |{t : dist(v → t) <= r}| (self included). Summed over v it
+gives the graph's neighborhood function, from which effective diameter
+and closeness/harmonic centralities derive (Boldi-Vigna, "HyperBall:
+beyond 1.5 billion distance computations").
+
+Two modes, same recurrence ball(v, r) = {v} ∪ ⋃_{v→w} ball(w, r-1):
+
+- ``neighborhood_function_exact``: materializes the distinct
+  (v, t) reachable-within-r pair set level by level (frontier-style:
+  only the NEW pairs of level k join against the edge table, never the
+  full closure). Exact; memory is O(Σ_v N(v,r)) — the gate/validation
+  mode, fine for small r or bounded graphs.
+- ``hyperball``: each vertex carries a HyperLogLog sketch of its ball
+  (Spark's built-in Datasketches HLL columns); one superstep = gather
+  out-neighbors' sketches (merge join on the reversed edge cache,
+  ``hll_union_agg`` partial-aggregates map-side) + ``hll_union`` with
+  the own sketch. State is O(V · sketch_bytes) REGARDLESS of r — the
+  100 TB mode. Estimates are within HLL error (~1.6% at lgK=12),
+  asserted against the exact mode in pytest.
+
+The sketch column is opaque binary and engine-specific, so the hard
+cross-system gate runs the exact mode; hyperball itself is validated
+by the error-bound pytest (same pattern as embedding ANN vs exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import releaf
+from planar_spark.graph.tables import GraphTables
+
+
+def neighborhood_function_exact(
+    graph: GraphTables, radius: int, config: EngineConfig | None = None
+) -> DataFrame:
+    """(vid, nf) with nf = |{t : dist(vid → t) <= radius}|, exact."""
+    config = config or EngineConfig()
+    base = graph.vertices.select(
+        F.col("vid"), F.col("vid").alias("t")
+    )
+    reach = releaf(base.localCheckpoint(eager=True))
+    frontier = reach
+    edges = graph.edges.select("src", "dst").distinct()
+    for _ in range(radius):
+        nxt = (
+            frontier.join(edges, frontier["t"] == edges["src"])
+            .select(frontier["vid"], edges["dst"].alias("t"))
+            .distinct()
+            .join(reach, ["vid", "t"], "left_anti")
+        )
+        obs = Observation()
+        nxt = releaf(
+            nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["n"] or 0) == 0:
+            break
+        reach = releaf(reach.unionAll(nxt).localCheckpoint(eager=True))
+        frontier = nxt
+    return reach.groupBy("vid").agg(F.count(F.lit(1)).alias("nf"))
+
+
+def hyperball(
+    graph: GraphTables,
+    radius: int,
+    config: EngineConfig | None = None,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """(vid, nf_est) — HLL-sketch estimate of the radius-ball size.
+
+    State per superstep is one sketch per vertex; the gather is the
+    same reversed-edge merge join as kernels/hits.py's hub phase.
+    """
+    config = config or EngineConfig()
+    parts = config.partitions_for(graph.spark)
+
+    rev = (
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .distinct()
+        .repartition(parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    state = releaf(
+        graph.vertices.groupBy("vid")
+        .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
+        .repartition(parts, "vid")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(radius):
+        # ball(v) ∪= ball(w) for each out-edge v→w: the reversed table
+        # keys the join by w (its src column), then ships the merged
+        # neighbor sketch to v with one partial-agg'd shuffle.
+        msgs = (
+            rev.join(state.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.hll_union_agg("sk").alias("nsk"))
+        )
+        state = releaf(
+            state.join(msgs, "vid", "left")
+            .select(
+                "vid",
+                F.when(
+                    F.col("nsk").isNull(), F.col("sk")
+                ).otherwise(F.hll_union("sk", "nsk")).alias("sk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = state.select(
+        "vid", F.hll_sketch_estimate("sk").alias("nf_est")
+    )
+    rev.unpersist()
+    return out

@@ -587,7 +587,7 @@ h{li + 1} AS MATERIALIZED (
 
 KCORE_K = 16
 KCORE_ORACLE_ROUNDS = 20     # >= measured peeling rounds (4 at sf0.001, 2 at sf0.01)
-COLORING_ORACLE_ROUNDS = 16  # >= measured JP rounds at sf0.01 (13)
+COLORING_ORACLE_ROUNDS = 10  # >= measured speculative rounds at sf0.01 (6)
 MSF_ORACLE_ROUNDS = 6        # >= measured Boruvka rounds at sf0.01 (4)
 MSF_ORACLE_JUMPS = 6         # pointer-doubling unroll: collapses depth 2^6
 
@@ -620,22 +620,19 @@ def _kcore_sql() -> str:
 
 
 def _coloring_sql() -> str:
-    """Unrolled deterministic Jones-Plassmann oracle (graph8).
-
-    Mirrors kernels/coloring.py exactly: priority = (vid*2654435761)
-    mod 2^32, ties by vid; a vertex colors itself once all
-    higher-priority neighbors are colored, taking the mex of their
-    colors. Round count sized from the measured sf0.01 round count.
-    """
+    """Unrolled deterministic Luby-style speculative coloring oracle
+    (graph8), mirroring kernels/coloring.py round-exactly: per round,
+    uncolored vertices propose the smallest free color at-or-after the
+    hashed offset t(v,r) = H(v,r) mod 2*(|used|+1); adjacent same-color
+    proposers resolve by priority (lower retries). Extra unrolled
+    rounds beyond convergence are no-ops (empty todo)."""
     prio = "(({v} * 2654435761) % 4294967296)"
-    pa, pb = prio.format(v="src"), prio.format(v="dst")
+    pa, pb = prio.format(v="s.src"), prio.format(v="s.dst")
     parts = [
         f"WITH {_EDGES8},",
         _UND + ",",
         "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM u"
         " UNION ALL SELECT b, a FROM u),",
-        "hi AS MATERIALIZED (SELECT src AS vid, dst AS n FROM sym"
-        f" WHERE ({pb} > {pa}) OR (({pb} = {pa}) AND dst > src)),",
         "c0 AS MATERIALIZED (SELECT vid, CAST(NULL AS BIGINT) AS color FROM verts)",
     ]
     for k in range(1, COLORING_ORACLE_ROUNDS + 1):
@@ -644,27 +641,44 @@ def _coloring_sql() -> str:
             f", td{k} AS (SELECT vid FROM c{p} WHERE color IS NULL)"
         )
         parts.append(
-            f", st{k} AS MATERIALIZED (SELECT h.vid, COUNT(*) AS n_higher,"
-            f" COUNT(c.color) AS n_colored"
-            f" FROM hi h JOIN td{k} t ON h.vid = t.vid"
-            f" JOIN c{p} c ON h.n = c.vid GROUP BY h.vid)"
+            f", u{k} AS MATERIALIZED (SELECT DISTINCT s.src AS vid,"
+            f" c.color AS ncolor"
+            f" FROM sym s JOIN td{k} t ON s.src = t.vid"
+            f" JOIN c{p} c ON s.dst = c.vid WHERE c.color IS NOT NULL)"
         )
         parts.append(
-            f", rd{k} AS (SELECT t.vid, COALESCE(s.n_colored, 0) AS n_colored"
-            f" FROM td{k} t LEFT JOIN st{k} s ON t.vid = s.vid"
-            f" WHERE s.vid IS NULL OR s.n_higher = s.n_colored)"
+            f", b{k} AS MATERIALIZED (SELECT t.vid,"
+            f" COALESCE(st.n, 0) AS n_used,"
+            f" (((t.vid * 2654435761) % 4294967296 + {k}) * 40503)"
+            f" % 4294967296 % (2 * (COALESCE(st.n, 0) + 1)) AS toff"
+            f" FROM td{k} t LEFT JOIN"
+            f" (SELECT vid, COUNT(*) AS n FROM u{k} GROUP BY vid) st"
+            f" ON t.vid = st.vid)"
         )
         parts.append(
-            f", mx{k} AS MATERIALIZED (SELECT r.vid, MIN(u2.g) AS color"
-            f" FROM rd{k} r, UNNEST(generate_series(0, r.n_colored)) AS u2(g)"
-            f" WHERE NOT EXISTS (SELECT 1 FROM hi h JOIN c{p} c ON h.n = c.vid"
-            f" WHERE h.vid = r.vid AND c.color = u2.g)"
-            f" GROUP BY r.vid)"
+            f", pr{k} AS MATERIALIZED (SELECT b.vid, MIN(g.c) AS pc"
+            f" FROM b{k} b, UNNEST(generate_series(b.toff,"
+            f" b.toff + b.n_used)) AS g(c)"
+            f" WHERE NOT EXISTS (SELECT 1 FROM u{k} u"
+            f" WHERE u.vid = b.vid AND u.ncolor = g.c)"
+            f" GROUP BY b.vid)"
+        )
+        parts.append(
+            f", lo{k} AS MATERIALIZED (SELECT DISTINCT s.src AS vid"
+            f" FROM sym s"
+            f" JOIN pr{k} p1 ON s.src = p1.vid"
+            f" JOIN pr{k} p2 ON s.dst = p2.vid"
+            f" WHERE p1.pc = p2.pc AND (({pb} > {pa})"
+            f" OR (({pb} = {pa}) AND s.dst > s.src)))"
+        )
+        parts.append(
+            f", cm{k} AS MATERIALIZED (SELECT vid, pc FROM pr{k}"
+            f" WHERE vid NOT IN (SELECT vid FROM lo{k}))"
         )
         parts.append(
             f", c{k} AS MATERIALIZED (SELECT c.vid,"
-            f" COALESCE(c.color, m.color) AS color"
-            f" FROM c{p} c LEFT JOIN mx{k} m ON c.vid = m.vid)"
+            f" COALESCE(c.color, m.pc) AS color"
+            f" FROM c{p} c LEFT JOIN cm{k} m ON c.vid = m.vid)"
         )
     parts.append(f"SELECT vid, color FROM c{COLORING_ORACLE_ROUNDS}")
     return "\n".join(parts)

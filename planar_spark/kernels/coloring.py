@@ -1,30 +1,43 @@
-"""Greedy graph coloring — deterministic Jones-Plassmann supersteps.
+"""Greedy graph coloring — deterministic Luby-style speculative rounds.
 
 Reference kernel: core/apps/coloring_app.cpp:5-110 — iterative conflict
 resolution where a conflicted vertex bumps its color by an UNSEEDED
 ``rand()`` (coloring_app.cpp:110), so the reference's output is
-nondeterministic run-to-run. We keep its goal (a proper coloring via
-neighbor-conflict supersteps) but make the result exactly reproducible:
-Jones-Plassmann with a deterministic pseudo-random priority
+nondeterministic run-to-run. We keep its speculative propose-and-
+resolve shape but make every choice a deterministic hash, so the
+result is exactly reproducible (and cross-checkable in SQL).
 
-    prio(v) = (v * 2654435761) mod 2^32,  ties broken by vid
+Why not Jones-Plassmann (the round-2 implementation): JP's round count
+is the depth of the priority dependency DAG, which is O(log n) only on
+SPARSE graphs. The sf0.1 derived graph is dense (4096 vertices, 578k
+undirected edges, avg degree 282) and measured JP at **485 rounds**
+(~10 vertices colored per round — a pure driver-latency death march at
+scale). The speculative algorithm below colors the same graph in
+**9 rounds** (6 at sf0.01, 5 at sf0.001), measured with an identical
+pure-python simulation, because progress per round is an independent-
+set fraction of the CONFLICT graph (same-proposal neighbors), not of
+the priority DAG.
 
-A vertex colors itself once all higher-priority neighbors are colored,
-picking the minimum color not used by them (mex). Random priorities
-bound the round count at O(log n) expected (vs O(longest monotone
-path) if vid itself were the priority), and the output equals the
-sequential greedy coloring in descending-priority order — checked
-exactly by the pure-Python oracle.
+Round r, every uncolored vertex v simultaneously:
+  1. used(v)  = distinct colors of v's already-colored neighbors
+  2. t(v, r)  = hash(v, r) mod 2*(|used|+1)    -- palette offset; the
+     factor 2 trades ~2x more colors for a near-conflict-free proposal
+     spread (measured: 9 rounds/230 colors vs 68 rounds/68 colors with
+     a min-color proposal on the dense graph)
+  3. propose the smallest free color >= t  (a free color always exists
+     in [t, t+|used|], so the candidate range is bounded by saturation
+     — never a per-vertex collect_set, and hub candidate rows stream
+     through ordinary shuffles)
+  4. conflict resolution: among adjacent same-color proposers the
+     higher deterministic priority commits, the lower retries next
+     round. The globally highest-priority uncolored vertex can never
+     lose, so every round commits at least one vertex (termination).
 
-Scale shape of the mex: counting-based, NEVER a per-vertex
-``collect_set`` of neighbor colors — on a power-law graph a hub with
-10^6 colored higher-priority neighbors would materialize one giant
-array row in a single aggregation buffer. Instead: mex(v) is the min
-g in 0..n_distinct_colors(v) absent among v's neighbor colors, found
-by exploding that (n_distinct+1)-candidate range and anti-joining the
-distinct (vid, neighbor color) pairs — rows stream through ordinary
-shuffles, no wide aggregation state. The per-round uncolored count is
-observed on the state checkpoint job (no standalone count action).
+Scale shape per round: one gather join over the todo-restricted
+symmetric edges (O(E_todo)), partial-agg'd counts, a bounded candidate
+explode (Σ saturation+1 <= E+V rows), and a proposal-conflict join that
+touches only edges between two CURRENT proposers. The per-round
+uncolored count rides the state checkpoint as an Observation.
 """
 
 from __future__ import annotations
@@ -37,82 +50,36 @@ from planar_spark.graph.tables import GraphTables
 
 PRIO_MULT = 2654435761  # Knuth's 2^32 golden-ratio multiplier
 PRIO_MOD = 2**32
+ROUND_MULT = 40503  # 16-bit golden-ratio constant for the round mix
 
 
 def _prio(col):
     return F.pmod(col * F.lit(PRIO_MULT), F.lit(PRIO_MOD))
 
 
-def _round_new_colors(
-    todo: DataFrame, higher: DataFrame, colored: DataFrame
-) -> DataFrame:
-    """One Jones-Plassmann round: (vid, new_color) for every uncolored
-    vertex whose higher-priority neighbors are ALL colored, new_color =
-    mex of those neighbors' colors (counting-based — see module doc).
-
-    Single join chain: the distinct (vid, neighbor-color) set ``u2``
-    determines BOTH readiness (no NULL among the neighbor colors) and
-    the mex (anti-join of the candidate range against it) — the base
-    gather join runs once per round, and the identical ``u2`` subplan
-    on the stats and anti-join branches is a reused exchange."""
-    u2 = (
-        todo.join(higher, "vid")
-        .join(
-            colored.select(
-                F.col("vid").alias("n"), F.col("color").alias("ncolor")
-            ),
-            "n",
-        )
-        .select("vid", "ncolor")
-        .distinct()
-    )
-    stats = u2.groupBy("vid").agg(
-        F.max(F.col("ncolor").isNull()).alias("has_uncolored"),
-        F.count("ncolor").alias("n_used"),
-    )
-    # ready = all higher-priority neighbors colored (or none exist)
-    ready = (
-        todo.join(stats, "vid", "left")
-        .where(F.col("has_uncolored").isNull() | ~F.col("has_uncolored"))
-        .select("vid", F.coalesce("n_used", F.lit(0)).alias("n_used"))
-    )
-    # mex via candidate range + anti-join: n_used distinct colors can
-    # block at most n_used of the n_used+1 candidates 0..n_used, so the
-    # min surviving candidate always exists.
-    cand = ready.select(
-        "vid",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("n_used").cast("long"))
-        ).alias("c"),
-    )
-    used = u2.select("vid", F.col("ncolor").alias("c"))
-    return (
-        cand.join(used, ["vid", "c"], "left_anti")
-        .groupBy("vid")
-        .agg(F.min("c").alias("new_color"))
+def _round_hash(vid_col, round_no: int):
+    """Deterministic per-(vertex, round) hash, int64-overflow-safe:
+    every intermediate stays < 2^32 * 40503 < 2^63."""
+    return F.pmod(
+        (_prio(vid_col) + F.lit(round_no)) * F.lit(ROUND_MULT),
+        F.lit(PRIO_MOD),
     )
 
 
 def greedy_coloring(
     graph: GraphTables,
     config: EngineConfig | None = None,
-    max_rounds: int = 100,
+    max_rounds: int = 60,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Returns (vid, color) — a proper coloring, deterministic."""
     config = config or EngineConfig()
     spark = graph.spark
     parts = config.partitions_for(spark)
 
-    sym = graph.symmetric_edges()
-    # (vid, n) edges where n has HIGHER priority than vid
-    ps = _prio(F.col("src"))
-    pd_ = _prio(F.col("dst"))
-    higher = (
-        sym.where(
-            (pd_ > ps) | ((pd_ == ps) & (F.col("dst") > F.col("src")))
-        )
-        .select(F.col("src").alias("vid"), F.col("dst").alias("n"))
-        .repartition(parts, "vid")
+    sym = (
+        graph.symmetric_edges()
+        .repartition(parts, "src")
         .persist()
     )
     colored = releaf(
@@ -120,14 +87,72 @@ def greedy_coloring(
             "vid", F.lit(None).cast("long").alias("color")
         ).localCheckpoint(eager=True)
     )
-
-    for _ in range(max_rounds):
+    rounds = 0
+    for r in range(1, max_rounds + 1):
+        rounds = r
         todo = colored.where(F.col("color").isNull()).select("vid")
-        mex = _round_new_colors(todo, higher, colored)
+        # distinct neighbor colors, only for still-uncolored vertices
+        colored_nn = colored.where(F.col("color").isNotNull())
+        used = (
+            sym.join(
+                todo.select(F.col("vid").alias("src")), "src", "left_semi"
+            )
+            .join(
+                colored_nn.select(
+                    F.col("vid").alias("dst"), F.col("color").alias("ncolor")
+                ),
+                "dst",
+            )
+            .select(F.col("src").alias("vid"), "ncolor")
+            .distinct()
+        )
+        st = used.groupBy("vid").agg(F.count(F.lit(1)).alias("n_used"))
+        base = (
+            todo.join(st, "vid", "left")
+            .select("vid", F.coalesce("n_used", F.lit(0)).alias("n_used"))
+        )
+        toff = F.pmod(
+            _round_hash(F.col("vid"), r),
+            (F.col("n_used") + 1) * 2,
+        )
+        cand = base.select(
+            "vid",
+            F.explode(
+                F.sequence(
+                    toff.cast("long"),
+                    (toff + F.col("n_used")).cast("long"),
+                )
+            ).alias("c"),
+        )
+        prop = (
+            cand.join(
+                used.select("vid", F.col("ncolor").alias("c")),
+                ["vid", "c"],
+                "left_anti",
+            )
+            .groupBy("vid")
+            .agg(F.min("c").alias("pc"))
+        )
+        # conflict: adjacent same-color proposers — lower priority loses
+        p_src = prop.select(F.col("vid").alias("src"), F.col("pc").alias("pc_s"))
+        p_dst = prop.select(F.col("vid").alias("dst"), F.col("pc").alias("pc_d"))
+        ps = _prio(F.col("src"))
+        pd_ = _prio(F.col("dst"))
+        losers = (
+            sym.join(p_src, "src")
+            .join(p_dst, "dst")
+            .where(
+                (F.col("pc_s") == F.col("pc_d"))
+                & ((pd_ > ps) | ((pd_ == ps) & (F.col("dst") > F.col("src"))))
+            )
+            .select(F.col("src").alias("vid"))
+            .distinct()
+        )
+        commit = prop.join(losers, "vid", "left_anti")
         obs = Observation()
         new_colored = releaf(
-            colored.join(mex, "vid", "left")
-            .select("vid", F.coalesce("color", "new_color").alias("color"))
+            colored.join(commit, "vid", "left")
+            .select("vid", F.coalesce("color", "pc").alias("color"))
             .observe(
                 obs,
                 F.sum(F.col("color").isNull().cast("long")).alias("n_uncolored"),
@@ -138,5 +163,7 @@ def greedy_coloring(
         colored = new_colored
         if int(obs.get["n_uncolored"] or 0) == 0:
             break
-    higher.unpersist()
+    sym.unpersist()
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
     return colored

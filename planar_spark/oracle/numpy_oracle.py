@@ -234,26 +234,41 @@ def oracle_msf(edges: np.ndarray) -> set[tuple[int, int]]:
 
 
 def oracle_coloring(edges: np.ndarray, num_vertices: int) -> np.ndarray:
-    """Sequential greedy coloring in DESCENDING (prio, vid) order, with
-    prio(v) = (v * 2654435761) mod 2^32 — equals the engine's
-    Jones-Plassmann result exactly."""
+    """Round-exact simulation of the engine's deterministic Luby-style
+    speculative coloring (kernels/coloring.py): per round every
+    uncolored vertex proposes the smallest free color at-or-after a
+    hashed palette offset t(v, r) = H(v, r) mod 2*(|used|+1); adjacent
+    same-color proposers resolve by (prio, vid), lower retries."""
     und = np.unique(np.sort(_dedupe(edges), axis=1), axis=0)
     nbrs: list[set[int]] = [set() for _ in range(num_vertices)]
     for a, b in und:
         nbrs[int(a)].add(int(b))
         nbrs[int(b)].add(int(a))
+    prio = lambda v: ((v * 2654435761) % 2**32, v)  # noqa: E731
+    rh = lambda v, r: (((v * 2654435761) % 2**32 + r) * 40503) % 2**32  # noqa: E731
     color = np.full(num_vertices, -1, dtype=np.int64)
-    order = sorted(
-        range(num_vertices),
-        key=lambda v: ((v * 2654435761) % 2**32, v),
-        reverse=True,
-    )
-    for v in order:
-        used = {int(color[u]) for u in nbrs[v] if color[u] >= 0}
-        c = 0
-        while c in used:
-            c += 1
-        color[v] = c
+    todo = set(range(num_vertices))
+    r = 0
+    while todo:
+        r += 1
+        prop: dict[int, int] = {}
+        for v in todo:
+            used = {int(color[u]) for u in nbrs[v] if color[u] >= 0}
+            c = rh(v, r) % (2 * (len(used) + 1))
+            while c in used:
+                c += 1
+            prop[v] = c
+        commit = [
+            v
+            for v in todo
+            if all(
+                not (u in prop and prop[u] == prop[v] and prio(u) > prio(v))
+                for u in nbrs[v]
+            )
+        ]
+        for v in commit:
+            color[v] = prop[v]
+        todo -= set(commit)
     return color
 
 

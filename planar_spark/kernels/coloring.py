@@ -66,6 +66,69 @@ def _round_hash(vid_col, round_no: int):
     )
 
 
+def _round_commits(
+    todo: DataFrame, sym: DataFrame, colored: DataFrame, round_no: int
+) -> DataFrame:
+    """One speculative round: (vid, pc) commits for the given todo set.
+
+    Proposal = smallest free color >= hashed offset, via a bounded
+    candidate explode + anti-join (NEVER a per-vertex collect_set —
+    a hub's aggregation buffer would be unbounded); conflict losers
+    (adjacent same-color proposers of lower priority) are removed."""
+    colored_nn = colored.where(F.col("color").isNotNull())
+    used = (
+        sym.join(todo.select(F.col("vid").alias("src")), "src", "left_semi")
+        .join(
+            colored_nn.select(
+                F.col("vid").alias("dst"), F.col("color").alias("ncolor")
+            ),
+            "dst",
+        )
+        .select(F.col("src").alias("vid"), "ncolor")
+        .distinct()
+    )
+    st = used.groupBy("vid").agg(F.count(F.lit(1)).alias("n_used"))
+    base = todo.join(st, "vid", "left").select(
+        "vid", F.coalesce("n_used", F.lit(0)).alias("n_used")
+    )
+    toff = F.pmod(
+        _round_hash(F.col("vid"), round_no),
+        (F.col("n_used") + 1) * 2,
+    )
+    cand = base.select(
+        "vid",
+        F.explode(
+            F.sequence(
+                toff.cast("long"), (toff + F.col("n_used")).cast("long")
+            )
+        ).alias("c"),
+    )
+    prop = (
+        cand.join(
+            used.select("vid", F.col("ncolor").alias("c")),
+            ["vid", "c"],
+            "left_anti",
+        )
+        .groupBy("vid")
+        .agg(F.min("c").alias("pc"))
+    )
+    p_src = prop.select(F.col("vid").alias("src"), F.col("pc").alias("pc_s"))
+    p_dst = prop.select(F.col("vid").alias("dst"), F.col("pc").alias("pc_d"))
+    ps = _prio(F.col("src"))
+    pd_ = _prio(F.col("dst"))
+    losers = (
+        sym.join(p_src, "src")
+        .join(p_dst, "dst")
+        .where(
+            (F.col("pc_s") == F.col("pc_d"))
+            & ((pd_ > ps) | ((pd_ == ps) & (F.col("dst") > F.col("src"))))
+        )
+        .select(F.col("src").alias("vid"))
+        .distinct()
+    )
+    return prop.join(losers, "vid", "left_anti")
+
+
 def greedy_coloring(
     graph: GraphTables,
     config: EngineConfig | None = None,
@@ -91,64 +154,7 @@ def greedy_coloring(
     for r in range(1, max_rounds + 1):
         rounds = r
         todo = colored.where(F.col("color").isNull()).select("vid")
-        # distinct neighbor colors, only for still-uncolored vertices
-        colored_nn = colored.where(F.col("color").isNotNull())
-        used = (
-            sym.join(
-                todo.select(F.col("vid").alias("src")), "src", "left_semi"
-            )
-            .join(
-                colored_nn.select(
-                    F.col("vid").alias("dst"), F.col("color").alias("ncolor")
-                ),
-                "dst",
-            )
-            .select(F.col("src").alias("vid"), "ncolor")
-            .distinct()
-        )
-        st = used.groupBy("vid").agg(F.count(F.lit(1)).alias("n_used"))
-        base = (
-            todo.join(st, "vid", "left")
-            .select("vid", F.coalesce("n_used", F.lit(0)).alias("n_used"))
-        )
-        toff = F.pmod(
-            _round_hash(F.col("vid"), r),
-            (F.col("n_used") + 1) * 2,
-        )
-        cand = base.select(
-            "vid",
-            F.explode(
-                F.sequence(
-                    toff.cast("long"),
-                    (toff + F.col("n_used")).cast("long"),
-                )
-            ).alias("c"),
-        )
-        prop = (
-            cand.join(
-                used.select("vid", F.col("ncolor").alias("c")),
-                ["vid", "c"],
-                "left_anti",
-            )
-            .groupBy("vid")
-            .agg(F.min("c").alias("pc"))
-        )
-        # conflict: adjacent same-color proposers — lower priority loses
-        p_src = prop.select(F.col("vid").alias("src"), F.col("pc").alias("pc_s"))
-        p_dst = prop.select(F.col("vid").alias("dst"), F.col("pc").alias("pc_d"))
-        ps = _prio(F.col("src"))
-        pd_ = _prio(F.col("dst"))
-        losers = (
-            sym.join(p_src, "src")
-            .join(p_dst, "dst")
-            .where(
-                (F.col("pc_s") == F.col("pc_d"))
-                & ((pd_ > ps) | ((pd_ == ps) & (F.col("dst") > F.col("src"))))
-            )
-            .select(F.col("src").alias("vid"))
-            .distinct()
-        )
-        commit = prop.join(losers, "vid", "left_anti")
+        commit = _round_commits(todo, sym, colored, r)
         obs = Observation()
         new_colored = releaf(
             colored.join(commit, "vid", "left")

@@ -174,18 +174,14 @@ def test_pagerank_l1_delta_observed_in_plan(spark, config):
 
 
 def test_coloring_round_plan_has_no_collect_set(spark, config):
-    """The JP mex must be the counting form (explode + anti-join), not a
-    per-vertex collect_set whose aggregation buffer is unbounded on
-    power-law hubs."""
-    from planar_spark.kernels.coloring import _prio, _round_new_colors
+    """The proposal must be the counting form (bounded candidate explode
+    + anti-join), not a per-vertex collect_set whose aggregation buffer
+    is unbounded on power-law hubs — and no window functions."""
+    from planar_spark.kernels.coloring import _round_commits
 
     edges = edges_powerlaw(100, m=2, seed=7)
     g = graph_from_numpy(spark, edges, 100)
     sym = g.symmetric_edges()
-    ps, pd_ = _prio(F.col("src")), _prio(F.col("dst"))
-    higher = sym.where(
-        (pd_ > ps) | ((pd_ == ps) & (F.col("dst") > F.col("src")))
-    ).select(F.col("src").alias("vid"), F.col("dst").alias("n"))
     # mid-run state (some vertices colored) — an all-null init state
     # would let Catalyst constant-fold the used-colors branch away
     colored = g.vertices.select(
@@ -195,10 +191,11 @@ def test_coloring_round_plan_has_no_collect_set(spark, config):
         .alias("color"),
     )
     todo = colored.where(F.col("color").isNull()).select("vid")
-    mex = _round_new_colors(todo, higher, colored)
-    opt = mex._jdf.queryExecution().optimizedPlan().toString()
+    commit = _round_commits(todo, sym, colored, round_no=1)
+    opt = commit._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_set" not in opt, opt
-    # the counting mex shape: a Generate (explode of the candidate
+    assert "window" not in opt.lower(), opt
+    # the counting proposal shape: a Generate (explode of the candidate
     # range) feeding a LeftAnti join
     assert "Generate" in opt, opt
     assert "LeftAnti" in opt, opt

@@ -1156,6 +1156,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return corpus_ngram_dedup(docs, n=5)
 
+    def q_doc_sample(spark, sf_dir):
+        from planar_spark.kernels.textops import sample_documents
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return sample_documents(
+            docs, rates={"en": 50, "de": 25, "fr": 10}, default_pct=5
+        )
+
+    def q_top_ngrams(spark, sf_dir):
+        from planar_spark.kernels.textops import top_ngrams
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return top_ngrams(docs, n=3, k=20)
+
+    def q_url_normalize(spark, sf_dir):
+        from planar_spark.ingest.urls import normalize_urls
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        messy = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.upper("source"),
+                F.lit(".Example/Doc/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=x#frag"),
+            ).alias("url"),
+        )
+        return normalize_urls(messy).select("doc_id", "url_norm")
+
     def q_quality_score(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return quality_score(docs)
@@ -1316,6 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
+        "doc_sample": q_doc_sample,
+        "top_ngrams": q_top_ngrams,
+        "url_normalize": q_url_normalize,
         "corpus_ngram_dedup": q_corpus_ngram_dedup,
         "detect_language": q_detect_language,
         "dedup_near_clusters": q_dedup_near_clusters,
@@ -1358,6 +1391,37 @@ FROM d""",
         "embedding_ann_topk": _ann_sql(),
         "quality_score": _quality_sql(),
         "repetition_stats": _repetition_sql(),
+        # bucket = first 8 md5 hex chars of 's0'||doc_id mod 100 —
+        # identical integer in DuckDB (see textops.sample_documents)
+        "doc_sample": """SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+                  WHEN 'fr' THEN 10 ELSE 5 END""",
+        "top_ngrams": r"""WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+g3 AS MATERIALIZED (
+    SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+    FROM toks, UNNEST(generate_series(1, LEN(t) - 2)) AS u(i)
+    WHERE LEN(t) >= 3
+)
+SELECT gram, COUNT(*) AS cnt FROM g3 GROUP BY gram
+ORDER BY cnt DESC, gram ASC LIMIT 20""",
+        "url_normalize": """WITH messy AS (
+    SELECT doc_id,
+           'HTTPS://WWW.' || upper(source) || '.Example/Doc/'
+           || CAST(doc_id AS VARCHAR) || '/?utm_source=x#frag' AS url
+    FROM documents
+)
+SELECT doc_id,
+       replace(lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)),
+               '://www.', '://')
+       || regexp_replace(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') AS url_norm
+FROM messy""",
         "corpus_ngram_dedup": _corpus_dedup_sql(5),
         "detect_language": _langid_sql(),
         "dedup_near_clusters": _near_dup_sql(),

@@ -524,6 +524,64 @@ def corpus_ngram_dedup(docs: DataFrame, n: int = 5) -> DataFrame:
     return out
 
 
+def sample_documents(
+    docs: DataFrame, rates: dict[str, int], default_pct: int = 0,
+    salt: str = "s0",
+) -> DataFrame:
+    """(doc_id, lang) — deterministic stratified corpus sampling: keep a
+    doc iff bucket(doc_id) < rates[lang] (percent, 0-100). The bucket is
+    the first 8 hex chars of md5(salt || doc_id) mod 100 — engine-
+    agnostic (DuckDB computes the identical bucket), reshuffle-stable,
+    and re-runnable: the same doc always lands in the same bucket, so
+    raising a language's rate only ADDS docs to the sample.
+
+    The per-language mixing rates are the standard knob when composing
+    a training corpus from a multilingual crawl. Pure projection +
+    filter: pushes down, no shuffle.
+    """
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    rate = F.lit(default_pct)
+    for lang in sorted(rates):
+        rate = F.when(F.col("lang") == lang, F.lit(rates[lang])).otherwise(rate)
+    return docs.select("doc_id", "lang").where(bucket < rate)
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """(gram, cnt) — the k globally most frequent word n-grams, ties
+    broken by gram ascending. Corpus profiling / boilerplate discovery.
+
+    Plan shape: in-row array n-grams (no UDF) → partial-agg'd
+    groupBy(gram) → TakeOrderedAndProject (per-partition top-k then a
+    k-row merge on the driver — never a full global sort).
+    """
+    t = tokens_df(docs)
+    grams = F.when(
+        F.size("tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tokens") - n),
+            lambda i: F.array_join(F.slice("tokens", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 def detect_language(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang) — stopword-list language ID: the language
     whose stopword list covers the largest fraction of the doc's tokens

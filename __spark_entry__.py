@@ -285,6 +285,82 @@ SELECT v.vid, LEAST(COALESCE(MIN(p.w), v.vid), v.vid) AS scc_id
 FROM verts v LEFT JOIN pairs p ON v.vid = p.u GROUP BY v.vid"""
 
 
+HOST_SQL_URLS = """
+m AS MATERIALIZED (
+    SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS src_url,
+           'https://WWW.h' || CAST((doc_id // 7) % 7 AS VARCHAR)
+           || '.example/d/' || CAST((doc_id * 13 + 2) % 499 AS VARCHAR)
+           AS dst_url
+    FROM documents
+)
+""".strip()
+
+_HOST_EXPR = (
+    "CASE WHEN lower(regexp_extract({u},"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) LIKE 'www.%'"
+    " THEN substr(lower(regexp_extract({u},"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), 5)"
+    " ELSE lower(regexp_extract({u},"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) END"
+)
+
+_HOST_GRAPH_SQL_BODY = (
+    f"hg AS MATERIALIZED (SELECT"
+    f" {_HOST_EXPR.format(u='src_url')} AS src_host,"
+    f" {_HOST_EXPR.format(u='dst_url')} AS dst_host,"
+    f" COUNT(*) AS weight FROM m GROUP BY src_host, dst_host)"
+)
+
+
+def _host_graph_sql() -> str:
+    return (
+        f"WITH {HOST_SQL_URLS},\n{_HOST_GRAPH_SQL_BODY}\n"
+        "SELECT src_host, dst_host, weight FROM hg"
+    )
+
+
+def _host_pagerank_sql() -> str:
+    """Unrolled weighted-PageRank oracle over the host graph, mirroring
+    kernels/wpagerank.py: contrib = Σ w_uv * (pr_u / W_out(u))."""
+    d = PR_DAMPING
+    parts = [
+        f"WITH {HOST_SQL_URLS},",
+        _HOST_GRAPH_SQL_BODY + ",",
+        "hv AS MATERIALIZED (SELECT DISTINCT h AS vid FROM ("
+        "SELECT src_host AS h FROM hg UNION ALL SELECT dst_host FROM hg)),",
+        "wo AS MATERIALIZED (SELECT src_host AS vid, SUM(weight) AS w_out"
+        " FROM hg GROUP BY src_host),",
+        "hb AS MATERIALIZED (SELECT v.vid,"
+        " COALESCE(CAST(w.w_out AS DOUBLE), 0.0) AS w_out"
+        " FROM hv v LEFT JOIN wo w ON v.vid = w.vid),",
+        "hn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hv),",
+        "ht0 AS MATERIALIZED (SELECT b.vid, b.w_out, 1.0 / hn.n AS pr"
+        " FROM hb b CROSS JOIN hn)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        parts.append(
+            f", hd{p} AS MATERIALIZED (SELECT COALESCE(SUM(pr), 0.0) AS m"
+            f" FROM ht{p} WHERE w_out = 0)"
+        )
+        parts.append(
+            f", hc{p} AS MATERIALIZED (SELECT e.dst_host AS vid,"
+            f" SUM(e.weight * (p.pr / p.w_out)) AS contrib"
+            f" FROM hg e JOIN ht{p} p ON e.src_host = p.vid"
+            f" WHERE p.w_out > 0 GROUP BY e.dst_host)"
+        )
+        parts.append(
+            f", ht{k} AS MATERIALIZED (SELECT b.vid, b.w_out,"
+            f" {1.0 - d} / hn.n + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + m.m / hn.n) AS pr"
+            f" FROM hb b CROSS JOIN hn CROSS JOIN hd{p} m"
+            f" LEFT JOIN hc{p} c ON b.vid = c.vid)"
+        )
+    parts.append(f"SELECT vid, ROUND(pr, 6) AS pr FROM ht{PR_ITERS}")
+    return "\n".join(parts)
+
+
 BOWTIE_WCC_ROUNDS = 12  # >= undirected eccentricity of the main graph (8)
 
 
@@ -1186,6 +1262,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return normalize_urls(messy).select("doc_id", "url_norm")
 
+    def _host_url_edges(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("src_url"),
+            F.concat(
+                F.lit("https://WWW.h"),
+                (F.floor(F.col("doc_id") / F.lit(7)).cast("long") % 7)
+                .cast("string"),
+                F.lit(".example/d/"),
+                ((F.col("doc_id") * 13 + 2) % 499).cast("string"),
+            ).alias("dst_url"),
+        )
+
+    def q_host_graph(spark, sf_dir):
+        from planar_spark.ingest.urls import host_graph
+
+        return host_graph(_host_url_edges(spark, sf_dir))
+
+    def q_host_pagerank(spark, sf_dir):
+        from planar_spark.ingest.urls import host_graph
+        from planar_spark.kernels.wpagerank import weighted_pagerank
+
+        hg = host_graph(_host_url_edges(spark, sf_dir))
+        pr = weighted_pagerank(
+            hg,
+            _cfg(),
+            num_iterations=PR_ITERS,
+            src_col="src_host",
+            dst_col="dst_host",
+        )
+        return pr.select("vid", F.round("pr", 6).alias("pr"))
+
     def q_quality_score(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return quality_score(docs)
@@ -1349,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "top_ngrams": q_top_ngrams,
         "url_normalize": q_url_normalize,
+        "host_graph": q_host_graph,
+        "host_pagerank": q_host_pagerank,
         "corpus_ngram_dedup": q_corpus_ngram_dedup,
         "detect_language": q_detect_language,
         "dedup_near_clusters": q_dedup_near_clusters,
@@ -1391,6 +1506,8 @@ FROM d""",
         "embedding_ann_topk": _ann_sql(),
         "quality_score": _quality_sql(),
         "repetition_stats": _repetition_sql(),
+        "host_graph": _host_graph_sql(),
+        "host_pagerank": _host_pagerank_sql(),
         # bucket = first 8 md5 hex chars of 's0'||doc_id mod 100 —
         # identical integer in DuckDB (see textops.sample_documents)
         "doc_sample": """SELECT doc_id, lang FROM documents

@@ -23,6 +23,36 @@ _SCHEME_HOST_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 
 
+def host_of(col) -> F.Column:
+    """Lowercased authority of a URL column, leading ``www.`` dropped;
+    '' when unparseable."""
+    h = F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    return F.when(
+        h.startswith("www."), F.substring(h, 5, 2**30)
+    ).otherwise(h)
+
+
+def host_graph(
+    edges_urls: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """(src_host, dst_host, weight) — host-level aggregation of a
+    page-level URL edge table (weight = page-edge count). The standard
+    coarsening for site-level ranking and link-spam analysis; one
+    partial-agg'd groupBy, scale-safe at any page-edge count."""
+    return (
+        edges_urls.select(
+            host_of(F.col(src_col)).alias("src_host"),
+            host_of(F.col(dst_col)).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def normalize_urls(
     df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
 ) -> DataFrame:

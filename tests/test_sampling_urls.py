@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from planar_spark.ingest.urls import normalize_urls
 from planar_spark.kernels.textops import sample_documents, top_ngrams
 
@@ -38,6 +40,57 @@ def test_top_ngrams_hand_values(spark):
     # trigrams: doc0: "a b c","b c a","c a b","a b c"; doc1: "a b c","b c d"
     assert got[0] == ("a b c", 3)
     assert set(got[1:]) == {("b c a", 1), ("b c d", 1)}  # tie-broken asc
+
+
+def test_host_graph_and_weighted_pagerank(spark, config):
+    import numpy as np
+
+    from planar_spark.ingest.urls import host_graph
+    from planar_spark.kernels.wpagerank import weighted_pagerank
+
+    rows = [
+        ("https://WWW.A.example/p1", "https://b.example/x"),
+        ("https://a.example/p2", "https://b.example/y"),
+        ("https://b.example/q", "https://c.example/z"),
+        ("https://c.example/r", "https://a.example/w"),
+        ("https://c.example/r2", "https://a.example/w2"),
+    ]
+    edges = spark.createDataFrame(rows, "src_url string, dst_url string")
+    hg = host_graph(edges)
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"] for r in hg.collect()
+    }
+    assert got == {
+        ("a.example", "b.example"): 2,
+        ("b.example", "c.example"): 1,
+        ("c.example", "a.example"): 2,
+    }
+    pr = {
+        r["vid"]: r["pr"]
+        for r in weighted_pagerank(hg, config, num_iterations=20,
+                                   src_col="src_host", dst_col="dst_host"
+                                   ).collect()
+    }
+    # 3-cycle with uniform per-source normalized weights == unweighted
+    # pagerank on a 3-ring: stationary pr = 1/3 each
+    assert sum(pr.values()) == pytest.approx(1.0)
+    for v in pr.values():
+        assert v == pytest.approx(1 / 3, abs=1e-6)
+
+    # weight-sensitivity: two sources into one hub with unequal weights
+    wdf = spark.createDataFrame(
+        [("s1", "hub", 3), ("s1", "leaf", 1), ("s2", "hub", 1)],
+        "src string, dst string, weight long",
+    )
+    pr2 = {
+        r["vid"]: r["pr"]
+        for r in weighted_pagerank(wdf, config, num_iterations=1).collect()
+    }
+    n = 4
+    d = config.damping
+    # after 1 iter: contrib(hub) = d*(1/n * 3/4 + 1/n * 1), dangling = 2/n
+    exp_hub = (1 - d) / n + d * ((3 / 4 + 1.0) / n + (2 / n) / n)
+    assert pr2["hub"] == pytest.approx(exp_hub, abs=1e-12)
 
 
 def test_normalize_urls(spark):

@@ -469,6 +469,44 @@ def _nf_sql() -> str:
     return "\n".join(parts)
 
 
+DIST_RADIUS = 4
+
+
+def _dist_hist_sql() -> str:
+    """Exact directed distance histogram: level-k new-pair counts from
+    the same unrolled reachable-pair CTEs as the NF oracle; trailing
+    empty levels are dropped (BFS: an empty level ends the walk)."""
+    parts = [
+        f"WITH {_EDGES},",
+        "p0 AS MATERIALIZED (SELECT vid, vid AS t FROM verts)",
+    ]
+    for k in range(1, DIST_RADIUS + 1):
+        p = k - 1
+        parts.append(
+            f", p{k} AS MATERIALIZED (SELECT DISTINCT vid, t FROM ("
+            f"SELECT vid, t FROM p{p}"
+            f" UNION ALL"
+            f" SELECT p.vid, e.dst AS t FROM p{p} p JOIN edges e ON p.t = e.src"
+            f"))"
+        )
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS dist,"
+        " CAST((SELECT COUNT(*) FROM p0) AS BIGINT) AS n_pairs"
+    ]
+    for k in range(1, DIST_RADIUS + 1):
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT),"
+            f" CAST((SELECT COUNT(*) FROM p{k}) AS BIGINT)"
+            f" - CAST((SELECT COUNT(*) FROM p{k - 1}) AS BIGINT)"
+        )
+    parts.append(
+        "SELECT dist, n_pairs FROM ("
+        + "\nUNION ALL ".join(rows)
+        + ") WHERE n_pairs > 0 OR dist = 0"
+    )
+    return "\n".join(parts)
+
+
 HITS_ITERS = 4
 
 
@@ -1086,6 +1124,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return neighborhood_function_exact(g, NF_RADIUS, _cfg())
 
+    def q_distance_histogram(spark, sf_dir):
+        from planar_spark.kernels.hyperball import distance_histogram
+
+        g = _graph(spark, sf_dir)
+        return distance_histogram(g, DIST_RADIUS, _cfg())
+
+    def q_edge_sample(spark, sf_dir):
+        from planar_spark.kernels.graphstats import sample_edges
+
+        g = _graph(spark, sf_dir)
+        return sample_edges(g.edges.select("src", "dst"), pct=20)
+
     def q_bowtie(spark, sf_dir):
         from planar_spark.kernels.scc import bowtie_regions
 
@@ -1435,6 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "bowtie": q_bowtie,
         "neighborhood_function": q_neighborhood_function,
+        "distance_histogram": q_distance_histogram,
+        "edge_sample": q_edge_sample,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
@@ -1553,6 +1605,11 @@ FROM documents d CROSS JOIN pos""",
         "scc": _scc_sql(),
         "bowtie": _bowtie_sql(),
         "neighborhood_function": _nf_sql(),
+        "distance_histogram": _dist_hist_sql(),
+        "edge_sample": f"""WITH {_EDGES}
+SELECT src, dst FROM edges
+WHERE CAST(('0x' || substr(md5('e0' || CAST(src AS VARCHAR) || '_'
+            || CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20""",
         "lpa": _lpa_sql(),
         "triangle_count": tri_base
         + "\nSELECT COUNT(*) AS n_triangles FROM t",

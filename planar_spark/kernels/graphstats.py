@@ -34,6 +34,37 @@ def degree_histogram(graph: GraphTables) -> DataFrame:
     )
 
 
+def sample_edges(
+    edges: DataFrame, pct: int, salt: str = "e0"
+) -> DataFrame:
+    """Deterministic graph sampling: keep edge (src, dst) iff its
+    md5-derived bucket (engine-agnostic, same trick as
+    textops.sample_documents) falls below ``pct``. Reshuffle-stable and
+    monotone in pct — the standard way to carve a test subgraph out of
+    a 100 TB edge table without a global shuffle (pure filter,
+    pushdown-friendly)."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("src").cast("string"),
+                        F.lit("_"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return edges.where(bucket < F.lit(pct))
+
+
 def reciprocity(graph: GraphTables) -> DataFrame:
     """One row (n_edges, n_reciprocal, reciprocity) over the distinct
     directed edge set: n_reciprocal counts edges (u,v) with (v,u) also

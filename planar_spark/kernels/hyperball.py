@@ -64,6 +64,46 @@ def neighborhood_function_exact(
     return reach.groupBy("vid").agg(F.count(F.lit(1)).alias("nf"))
 
 
+def distance_histogram(
+    graph: GraphTables, radius: int, config: EngineConfig | None = None
+) -> DataFrame:
+    """(dist, n_pairs): number of ordered (v, t) pairs at exact directed
+    distance dist, for dist in 0..radius (dist 0 = the V self-pairs).
+
+    Same frontier machinery as neighborhood_function_exact — the level-k
+    frontier IS the set of pairs at distance exactly k, so the
+    histogram is one count per level, observed on the level checkpoint.
+    The summed prefix gives the neighborhood function; the median gives
+    the effective-diameter estimate web-graph papers report."""
+    config = config or EngineConfig()
+    base = graph.vertices.select(F.col("vid"), F.col("vid").alias("t"))
+    reach = releaf(base.localCheckpoint(eager=True))
+    frontier = reach
+    edges = graph.edges.select("src", "dst").distinct()
+    counts = [(0, graph.num_vertices)]
+    for k in range(1, radius + 1):
+        nxt = (
+            frontier.join(edges, frontier["t"] == edges["src"])
+            .select(frontier["vid"], edges["dst"].alias("t"))
+            .distinct()
+            .join(reach, ["vid", "t"], "left_anti")
+        )
+        obs = Observation()
+        nxt = releaf(
+            nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n = int(obs.get["n"] or 0)
+        if n == 0:
+            break
+        counts.append((k, n))
+        reach = releaf(reach.unionAll(nxt).localCheckpoint(eager=True))
+        frontier = nxt
+    return graph.spark.createDataFrame(
+        counts, schema="dist long, n_pairs long"
+    )
+
+
 def hyperball(
     graph: GraphTables,
     radius: int,

@@ -46,6 +46,70 @@ def test_exact_neighborhood_function(spark, config, name, edges, n, r):
     assert got == python_nf(edges, n, r)
 
 
+def test_distance_histogram_ring(spark, config):
+    from planar_spark.kernels.hyperball import distance_histogram
+
+    # directed 10-ring: exactly 10 pairs at each distance 0..radius
+    g = graph_from_numpy(spark, edges_ring(10), 10)
+    got = {
+        r["dist"]: r["n_pairs"]
+        for r in distance_histogram(g, 4, config).collect()
+    }
+    assert got == {0: 10, 1: 10, 2: 10, 3: 10, 4: 10}
+    # sanity vs the exact NF on a powerlaw graph: prefix sums agree
+    n, r = 80, 3
+    edges = edges_powerlaw(n, m=2, seed=9)
+    g2 = graph_from_numpy(spark, edges, n)
+    hist = {
+        row["dist"]: row["n_pairs"]
+        for row in distance_histogram(g2, r, config).collect()
+    }
+    nf = python_nf(edges, n, r)
+    assert sum(hist.values()) == sum(nf.values())
+
+
+def test_edge_sample_deterministic_and_monotone(spark):
+    import hashlib
+
+    from planar_spark.kernels.graphstats import sample_edges
+
+    rows = [(i % 37, (i * 7) % 41) for i in range(300)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+
+    def bucket(s, d):
+        h = hashlib.md5(f"e0{s}_{d}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100
+
+    got20 = {(r["src"], r["dst"]) for r in sample_edges(edges, 20).collect()}
+    want20 = {(s, d) for s, d in rows if bucket(s, d) < 20}
+    assert got20 == want20
+    got50 = {(r["src"], r["dst"]) for r in sample_edges(edges, 50).collect()}
+    assert got20 <= got50
+
+
+def test_hits_resume_equals_uninterrupted(spark, config, tmp_path):
+    from planar_spark.config import EngineConfig
+    from planar_spark.graph.superstep import SuperstepEngine
+    from planar_spark.kernels.hits import hits
+
+    edges = edges_powerlaw(100, m=2, seed=23)
+    g = graph_from_numpy(spark, edges, 100)
+    cfg = EngineConfig(
+        num_partitions=8, tolerance=0.0, checkpoint_dir=str(tmp_path)
+    )
+    eng_a = SuperstepEngine(spark, cfg, "hits", run_id="hA")
+    hits(g, cfg, num_iterations=1, engine=eng_a)  # 2 supersteps, "crash"
+    eng_a2 = SuperstepEngine(spark, cfg, "hits", run_id="hA")
+    resumed = hits(g, cfg, num_iterations=3, engine=eng_a2, resume=True)
+    eng_b = SuperstepEngine(spark, cfg, "hits", run_id="hB")
+    full = hits(g, cfg, num_iterations=3, engine=eng_b)
+    rows = lambda r: sorted(  # noqa: E731
+        (x["vid"], round(x["hub"], 12), round(x["auth"], 12))
+        for x in r.state.collect()
+    )
+    assert rows(resumed) == rows(full)
+
+
 def test_hyperball_within_hll_error(spark, config):
     n, r = 150, 4
     edges = edges_powerlaw(n, m=3, seed=17)

@@ -84,22 +84,68 @@ class TableStore:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    def _fallback_table(self, name: str) -> str:
+        # session-catalog identifier for bucketed external tables
+        return f"planar_{self.namespace}_{_sanitize(name)}"
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        bucket_by: str | None = None,
+        num_buckets: int = 32,
+        sort_by: str | None = None,
+    ) -> None:
+        """``bucket_by`` hash-buckets the table on that column so later
+        equi-joins/aggs on it are ZERO-EXCHANGE (Spark reads bucketing
+        from table metadata; both sides of a bucketed self-join
+        sort-merge with no shuffle — asserted in tests/test_storage.py).
+        At 100 TB this is the difference between re-shuffling the edge
+        table per query and shuffling it once at ingest."""
         if self.catalog:
             self.spark.sql(
                 f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
             )
             writer = df.writeTo(self._ident(name))
+            if bucket_by is not None and mode == "overwrite":
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(
+                    F.bucket(num_buckets, F.col(bucket_by))
+                )
             if mode == "overwrite":
                 writer.createOrReplace()
             else:
                 writer.append()
+        elif bucket_by is not None:
+            # bucketing metadata lives in the session catalog, so the
+            # fallback registers an EXTERNAL table at the store path
+            (
+                df.write.mode(mode)
+                .option("path", self._path(name))
+                .bucketBy(num_buckets, bucket_by)
+                .sortBy(sort_by or bucket_by)
+                .format("parquet")
+                .saveAsTable(self._fallback_table(name))
+            )
         else:
             df.write.mode(mode).parquet(self._path(name))
 
     def read(self, name: str) -> DataFrame:
         if self.catalog:
             return self.spark.read.table(self._ident(name))
+        # prefer the catalog entry (carries bucketing metadata) when the
+        # table was written bucketed; a persistent metastore keeps the
+        # entry across sessions, the default in-memory catalog only for
+        # this session (later sessions fall back to the plain parquet
+        # read — correct, just without the no-shuffle join guarantee)
+        tbl = self._fallback_table(name)
+        try:
+            if self.spark.catalog.tableExists(tbl):
+                return self.spark.table(tbl)
+        except Exception:  # pragma: no cover - catalog probe only
+            pass
         return self.spark.read.parquet(self._path(name))
 
     # --------------------------------------------------------------- meta

@@ -41,3 +41,28 @@ def test_graph_tables_roundtrip_through_store(spark, tmp_path):
     assert g2.num_edges == g.num_edges
     assert g2.edges.count() == g.num_edges
     assert g2.degrees.count() == g2.num_vertices
+
+
+def test_bucketed_write_gives_zero_exchange_self_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from planar_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wb"))
+    df = spark.range(5000).select(
+        (F.col("id") % 499).alias("src"), (F.col("id") % 101).alias("dst")
+    )
+    store.write(df, "edges_b", bucket_by="src", num_buckets=8)
+    t = store.read("edges_b")
+    assert t.count() == 5000  # roundtrip
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = t.alias("a").join(t.alias("b"), "src")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the parquet files really live under the store root
+        assert (tmp_path / "wb" / "edges_b").exists()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql(f"DROP TABLE IF EXISTS {store._fallback_table('edges_b')}")

@@ -70,9 +70,12 @@ class GraphTables:
         from planar_spark.storage import TableStore
 
         store = TableStore(self.spark, path)
-        store.write(self.edges, "edges", mode)
+        # edges bucketed+sorted by src: any later session re-reading the
+        # graph gets zero-exchange gathers on the join key for free
+        # (catalog-permitting; see TableStore.write)
+        store.write(self.edges, "edges", mode, bucket_by="src")
         store.write(self.vertices, "vertices", mode)
-        store.write(self.degrees, "degrees", mode)
+        store.write(self.degrees, "degrees", mode, bucket_by="vid")
         store.write_meta(
             "graph",
             {"num_vertices": self.num_vertices, "num_edges": self.num_edges},

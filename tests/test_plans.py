@@ -157,3 +157,45 @@ def test_releaf_prevents_checkpoint_stats_blowup(spark):
     # without releaf the estimate squares per round (>10^40 by round 6)
     assert size < 10**25, size
     assert state.count() == 100
+
+
+def test_reversed_edge_gather_is_merge_join(spark, config):
+    """The hits/hyperball hub-phase gather joins on the REVERSED edge
+    cache (partitioned+sorted by the reversed src): like the forward
+    gather, it must be a merge join with no Exchange/Sort on the edge
+    branch — the reversed cache exists precisely to buy that."""
+    edges = edges_powerlaw(500, m=3, seed=2)
+    g = graph_from_numpy(spark, edges, 500)
+    parts = config.partitions_for(spark)
+    rev = (
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .repartition(parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    live = g.degrees.select("vid", F.lit(1.0).alias("w"))
+    gathered = salted_gather_join(rev, live, config, hubs=None)
+    out = gathered.groupBy(F.col("dst").alias("vid")).agg(
+        F.sum("w").alias("s")
+    )
+    out.collect()
+    plan = _plan(out)
+    assert "SortMergeJoin" in plan, plan
+    i = plan.index("SortMergeJoin [src")
+    j = plan.index("TableCacheQueryStage", i)
+    branch = plan[i:j]
+    assert "Exchange" not in branch, plan
+    assert "Sort [src" not in branch, plan
+    rev.unpersist()
+
+
+def test_scc_and_bowtie_plans_have_no_window(spark, config):
+    from planar_spark.kernels.scc import bowtie_regions
+
+    edges = edges_powerlaw(120, m=2, seed=4)
+    g = graph_from_numpy(spark, edges, 120)
+    out = bowtie_regions(g, config)
+    # bowtie runs scc + 2 BFS + wcc internally; the final merge plan
+    # (and by construction every checkpointed inner step) is window-free
+    assert "Window" not in _plan(out)
+    assert out.count() == 120

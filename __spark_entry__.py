@@ -1155,6 +1155,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = connected_components(g, _cfg(), two_hop_init=True)
         return r.state.select("vid", "label")
 
+    def q_wcc_incremental(spark, sf_dir):
+        """Split graph8's edges into an 'old' batch and a 'new' delta,
+        compute exact labels for the old set, then MERGE the delta via
+        the incremental label-contraction path. Oracle = the same full
+        16-round WCC SQL as the batch wcc gate: the incremental path
+        must be bit-identical to a full recompute on old ∪ new."""
+        from planar_spark.kernels.components import incremental_wcc
+
+        g = _graph8(spark, sf_dir)
+        old_e = g.edges.where((F.col("src") + F.col("dst")) % 3 != 0)
+        new_e = g.edges.where((F.col("src") + F.col("dst")) % 3 == 0)
+        g_old = GraphTables.from_edges(
+            old_e, num_partitions=16, vertices=g.vertices
+        )
+        old_labels = connected_components(
+            g_old, _cfg(), two_hop_init=True
+        ).state
+        out = incremental_wcc(old_labels, new_e, _cfg())
+        g_old.unpersist()
+        return out.select("vid", "label")
+
     def q_lpa(spark, sf_dir):
         g = _graph(spark, sf_dir)
         r = label_propagation(g, _cfg(), num_iterations=LPA_ROUNDS)
@@ -1482,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "hits": q_hits,
         "wcc": q_wcc,
+        "wcc_incremental": q_wcc_incremental,
         "scc": q_scc,
         "bowtie": q_bowtie,
         "neighborhood_function": q_neighborhood_function,
@@ -1602,6 +1624,7 @@ SELECT d.doc_id, CAST(pos.p AS BIGINT) AS pos,
        / 256.0 AS val
 FROM documents d CROSS JOIN pos""",
         "wcc": _wcc_sql(),
+        "wcc_incremental": _wcc_sql(),
         "scc": _scc_sql(),
         "bowtie": _bowtie_sql(),
         "neighborhood_function": _nf_sql(),

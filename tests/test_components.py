@@ -137,3 +137,31 @@ def test_components_two_hop_init_exact_and_fewer_steps(spark, config):
     assert seeded.converged
     assert (_labels_array(seeded, 64) == _labels_array(base, 64)).all()
     assert seeded.steps_run <= base.steps_run
+
+
+def test_incremental_wcc_equals_full_recompute(spark, config):
+    import numpy as np
+
+    from planar_spark.kernels.components import incremental_wcc
+    from planar_spark.oracle.numpy_oracle import oracle_components
+
+    n = 150
+    edges = edges_powerlaw(n, m=2, seed=29)
+    # split: even-index edges are "old", odd-index are the delta
+    old_e, new_e = edges[::2], edges[1::2]
+    g_old = graph_from_numpy(spark, old_e, n)
+    old_labels = connected_components(g_old, config).state
+    ndf = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in new_e], "src long, dst long"
+    )
+    out = incremental_wcc(old_labels, ndf, config)
+    got = np.full(n, -1, dtype=np.int64)
+    for r in out.collect():
+        got[r["vid"]] = r["label"]
+    assert np.array_equal(got, oracle_components(edges, n))
+    # no-op delta: labels pass through unchanged
+    empty = spark.createDataFrame([], "src long, dst long")
+    same = incremental_wcc(old_labels, empty, config)
+    assert sorted((r["vid"], r["label"]) for r in same.collect()) == sorted(
+        (r["vid"], r["label"]) for r in old_labels.select("vid", "label").collect()
+    )

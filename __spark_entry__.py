@@ -7,7 +7,14 @@ kernels (PageRank, WCC, LPA, SSSP, walks) have their oracles generated
 as UNROLLED fixed-round SQL — unroll counts are sized from the measured
 structure of the deterministic derived graph (see
 planar_spark/testdata_graph.py): undirected eccentricity <= 8 at both
-sf0.001/sf0.01, directed eccentricity <= 8 from the min vertex.
+sf0.001/sf0.01, directed eccentricity <= 8 from the min vertex. SCC and
+bow-tie use EXACT recursive-closure oracles instead (round-structure-
+independent); wcc_incremental is value-hashed against the same
+full-recompute oracle as the batch wcc gate. 48 gates total, all hard.
+
+DuckDB 1.0 gotcha: inside WITH RECURSIVE, a sibling CTE whose body has
+a TOP-LEVEL ``UNION`` silently behaves like UNION ALL — always nest the
+UNION ALL under an outer SELECT DISTINCT there (see _bowtie_sql).
 
 Graphs derived from the testdata:
 - main graph:  src=l_orderkey%4096, dst=l_partkey%4096 (distinct, no

@@ -202,6 +202,25 @@ def main() -> None:
         ).state.count(),
     )
 
+    # incremental-WCC delta merge: old labels prepared OUTSIDE the
+    # timer — the extra measures the delta-sized update alone, the
+    # number that matters for nightly link-graph maintenance
+    from planar_spark.kernels.components import incremental_wcc
+
+    old_e = g.edges.where((F.col("src") + F.col("dst")) % 10 != 0)
+    new_e = g.edges.where((F.col("src") + F.col("dst")) % 10 == 0)
+    g_old = GraphTables.from_edges(old_e, parts, vertices=g.vertices)
+    old_labels = connected_components(
+        g_old, cfg, two_hop_init=True
+    ).state.persist()
+    old_labels.count()
+    timed_extra(
+        "wcc_incremental_delta",
+        lambda: incremental_wcc(old_labels, new_e, cfg).count(),
+    )
+    old_labels.unpersist()
+    g_old.unpersist()
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed_extra("minhash_lsh_pairs", lambda: lsh_candidate_pairs(docs).count())

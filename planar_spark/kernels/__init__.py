@@ -1,5 +1,9 @@
 from planar_spark.kernels.pagerank import pagerank
-from planar_spark.kernels.components import connected_components
+from planar_spark.kernels.components import connected_components, incremental_wcc
+from planar_spark.kernels.ppr import personalized_pagerank
+from planar_spark.kernels.scc import bowtie_regions, strongly_connected_components
+from planar_spark.kernels.triangles import local_clustering
+from planar_spark.kernels.wpagerank import weighted_pagerank
 from planar_spark.kernels.lpa import label_propagation
 from planar_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
 from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
@@ -10,6 +14,12 @@ from planar_spark.kernels.hits import hits
 
 __all__ = [
     "hits",
+    "incremental_wcc",
+    "personalized_pagerank",
+    "strongly_connected_components",
+    "bowtie_regions",
+    "local_clustering",
+    "weighted_pagerank",
     "pagerank",
     "connected_components",
     "label_propagation",

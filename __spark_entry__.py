@@ -1216,6 +1216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return degree_histogram(_graph(spark, sf_dir))
 
+    def q_powerlaw_alpha(spark, sf_dir):
+        from planar_spark.kernels.graphstats import powerlaw_alpha
+
+        return powerlaw_alpha(_graph(spark, sf_dir), dmin=2)
+
     def q_reciprocity(spark, sf_dir):
         from planar_spark.kernels.graphstats import reciprocity
 
@@ -1523,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": q_out_degrees,
         "degree_histogram": q_degree_histogram,
         "reciprocity": q_reciprocity,
+        "powerlaw_alpha": q_powerlaw_alpha,
         "one_hop_min": q_one_hop_min,
         "two_hop_stats": q_two_hop_stats,
         "sssp": q_sssp,
@@ -1680,6 +1686,13 @@ deg AS MATERIALIZED (
 SELECT CAST(LENGTH(bin(out_deg + 1)) - 1 AS BIGINT) AS bucket,
        COUNT(*) AS n_vertices
 FROM deg GROUP BY bucket""",
+        "powerlaw_alpha": f"""WITH {_EDGES},
+deg AS MATERIALIZED (
+    SELECT src AS vid, COUNT(*) AS out_deg FROM edges GROUP BY src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(1.0 + COUNT(*) / SUM(LN(out_deg / 1.5)), 6) AS alpha
+FROM deg WHERE out_deg >= 2""",
         "reciprocity": f"""WITH {_EDGES},
 r AS MATERIALIZED (
     SELECT COUNT(*) AS n FROM edges e

@@ -34,6 +34,26 @@ def degree_histogram(graph: GraphTables) -> DataFrame:
     )
 
 
+def powerlaw_alpha(graph: GraphTables, dmin: int = 1) -> DataFrame:
+    """One row (n_tail, alpha): continuous-MLE estimate of the degree
+    power-law exponent (Clauset-Shalizi-Newman) over out-degrees >=
+    dmin:  alpha = 1 + n / Σ ln(deg / (dmin - 0.5)).
+
+    The standard one-number check that a crawl's degree distribution
+    looks web-like (alpha ≈ 2.1 for real web graphs). Single partial-
+    agg'd aggregation pass."""
+    tail = graph.degrees.where(F.col("out_deg") >= dmin)
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("out_deg") / F.lit(dmin - 0.5))),
+            6,
+        ).alias("alpha"),
+    )
+
+
 def sample_edges(
     edges: DataFrame, pct: int, salt: str = "e0"
 ) -> DataFrame:

@@ -23,3 +23,20 @@ def test_reciprocity_half(spark):
     assert row["n_edges"] == 3
     assert row["n_reciprocal"] == 2
     assert abs(row["reciprocity"] - round(2 / 3, 6)) < 1e-12
+
+
+def test_powerlaw_alpha_matches_python_mle(spark):
+    import math
+
+    from planar_spark.kernels.graphstats import powerlaw_alpha
+    from planar_spark.ingest.pages import edges_powerlaw
+
+    n = 200
+    edges = edges_powerlaw(n, m=3, seed=19)
+    g = graph_from_numpy(spark, edges, n)
+    row = powerlaw_alpha(g, dmin=2).collect()[0]
+    degs = np.bincount(edges[:, 0].astype(int), minlength=n)
+    tail = [d for d in degs if d >= 2]
+    want = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert row["n_tail"] == len(tail)
+    assert abs(row["alpha"] - round(want, 6)) < 1e-9

@@ -16,7 +16,7 @@ shape; Tarjan-style DFS does not parallelize). Per outer round:
      fixpoint (monotone hash-min over in-edges, same shape as WCC).
   3. SWEEP: roots are vertices with color(v) == vid. Every vertex of
      color r that reaches r BACKWARD through vertices of the same
-     color is exactly SCC(r) (proof sketch in scc_assign below). All
+     color is exactly SCC(r) (proof sketch at the sweep step). All
      color classes sweep simultaneously. Assign and deactivate.
 
 Each inner fixpoint round is one localCheckpoint job whose convergence
@@ -68,6 +68,7 @@ def strongly_connected_components(
     outer_rounds = 0
     inner_jobs = 0
 
+    all_assigned = False
     for _ in range(max_outer):
         outer_rounds += 1
         # Active edge set: both endpoints still unassigned.
@@ -80,7 +81,9 @@ def strongly_connected_components(
         )
 
         # ---- 1. TRIM to a fixpoint -------------------------------
-        while True:
+        # strictly decreasing active set => terminates; the bound only
+        # backstops a logic error — and fails loudly if hit
+        for _t in range(max_inner):
             has_out = e_act.select("src").distinct()
             has_in = e_act.select("dst").distinct()
             keep = (
@@ -104,15 +107,21 @@ def strongly_connected_components(
                 e_act.join(t_src, "src", "left_anti")
                 .join(t_dst, "dst", "left_anti")
             )
+        else:
+            raise RuntimeError(
+                f"scc: trim did not reach a fixpoint in {max_inner} rounds"
+            )
 
         obs_a = Observation()
         active = _ckpt(active, obs_a, F.count(F.lit(1)).alias("n"))
         inner_jobs += 1
         if int(obs_a.get["n"] or 0) == 0:
+            all_assigned = True
             break
 
         # ---- 2. COLOR: min reaching vid, hash-min fixpoint -------
         color = _ckpt(active.select("vid", F.col("vid").alias("color")))
+        color_converged = False
         for _p in range(max_inner):
             msg = (
                 e_act.join(
@@ -140,7 +149,15 @@ def strongly_connected_components(
             ).drop("_moved")
             inner_jobs += 1
             if int(obs.get["changed"] or 0) == 0:
+                color_converged = True
                 break
+        if not color_converged:
+            # an unconverged coloring would assign WRONG components in
+            # the sweep below — never degrade silently
+            raise RuntimeError(
+                f"scc: coloring fixpoint not reached in {max_inner} "
+                "rounds; raise max_inner (active diameter exceeds it)"
+            )
 
         # ---- 3. SWEEP: backward reach of each root in its color --
         # marked(vid, scc): grows from the roots; a vertex joins when
@@ -155,6 +172,7 @@ def strongly_connected_components(
             )
         )
         frontier = marked
+        sweep_converged = False
         for _s in range(max_inner):
             cand = (
                 e_act.join(
@@ -176,13 +194,27 @@ def strongly_connected_components(
             new = _ckpt(new, obs, F.count(F.lit(1)).alias("n"))
             inner_jobs += 1
             if int(obs.get["n"] or 0) == 0:
+                sweep_converged = True
                 break
             marked = _ckpt(marked.unionAll(new))
             frontier = new
+        if not sweep_converged:
+            raise RuntimeError(
+                f"scc: backward sweep not exhausted in {max_inner} "
+                "rounds; raise max_inner"
+            )
 
         assigned_parts.append(marked.select("vid", F.col("scc").alias("scc_id")))
         active = _ckpt(active.join(marked.select("vid"), "vid", "left_anti"))
 
+    if not all_assigned:
+        # the final round may have drained active without re-entering
+        # the loop; verify rather than assume
+        if active.limit(1).count() > 0:
+            raise RuntimeError(
+                f"scc: {max_outer} outer rounds left unassigned vertices;"
+                " raise max_outer"
+            )
     if metrics_out is not None:
         metrics_out["outer_rounds"] = outer_rounds
         metrics_out["inner_jobs"] = inner_jobs
@@ -200,6 +232,7 @@ def _bfs_reach(edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
     level's own checkpoint job."""
     reached = _ckpt(seeds.select("vid"))
     frontier = reached
+    done = False
     for _ in range(max_depth):
         nxt = (
             edges.join(
@@ -212,9 +245,14 @@ def _bfs_reach(edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
         obs = Observation()
         nxt = _ckpt(nxt, obs, F.count(F.lit(1)).alias("n"))
         if int(obs.get["n"] or 0) == 0:
+            done = True
             break
         reached = _ckpt(reached.unionAll(nxt))
         frontier = nxt
+    if not done:
+        raise RuntimeError(
+            f"bfs reach truncated at depth {max_depth}; raise max_depth"
+        )
     return reached
 
 

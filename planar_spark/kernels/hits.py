@@ -60,6 +60,11 @@ def hits(
     normalizations are 0/0 by construction).
     """
     config = config or EngineConfig()
+    if graph.num_edges == 0:
+        raise ValueError(
+            "hits requires at least one edge (normalizations are 0/0 "
+            "on an empty edge set)"
+        )
     spark = graph.spark
     parts = config.partitions_for(spark)
 

@@ -65,6 +65,8 @@ def weighted_pagerank(
         .localCheckpoint(eager=True)
     )
     n = base.count()
+    if n == 0:
+        raise ValueError("weighted_pagerank requires a non-empty edge table")
 
     state = base.withColumn("pr", F.lit(1.0 / n))
     for _ in range(num_iterations):

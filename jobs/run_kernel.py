@@ -35,7 +35,7 @@ from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 KERNELS = (
     "pagerank", "wcc", "lpa", "triangles", "sssp",
     "msf", "coloring", "khop", "randomwalk", "kcore",
-    "scc", "hits", "ppr", "lcc",
+    "scc", "hits", "ppr", "lcc", "bowtie", "stats",
 )
 
 
@@ -133,6 +133,35 @@ def main() -> None:
         from planar_spark.kernels.triangles import local_clustering
 
         out, meta = local_clustering(g, cfg), None
+    elif args.kernel == "bowtie":
+        from planar_spark.kernels.scc import bowtie_regions
+
+        out, meta = bowtie_regions(g, cfg), None
+    elif args.kernel == "stats":
+        # one-pass graph profile: degree histogram + reciprocity +
+        # power-law alpha, unioned as (stat, key, value) rows
+        from planar_spark.kernels.graphstats import (
+            degree_histogram,
+            powerlaw_alpha,
+            reciprocity,
+        )
+
+        h = degree_histogram(g).select(
+            F.lit("degree_histogram").alias("stat"),
+            F.col("bucket").cast("string").alias("key"),
+            F.col("n_vertices").cast("double").alias("value"),
+        )
+        r = reciprocity(g).select(
+            F.lit("reciprocity").alias("stat"),
+            F.lit("ratio").alias("key"),
+            F.col("reciprocity").cast("double").alias("value"),
+        )
+        a = powerlaw_alpha(g).select(
+            F.lit("powerlaw").alias("stat"),
+            F.lit("alpha").alias("key"),
+            F.col("alpha").cast("double").alias("value"),
+        )
+        out, meta = h.unionByName(r).unionByName(a), None
     elif args.kernel == "khop":
         from planar_spark.kernels.neighborhood import khop_risk
 

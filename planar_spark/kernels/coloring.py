@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.loopckpt import LoopCheckpointer
 from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
@@ -134,8 +135,19 @@ def greedy_coloring(
     config: EngineConfig | None = None,
     max_rounds: int = 60,
     metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
-    """Returns (vid, color) — a proper coloring, deterministic."""
+    """Returns (vid, color) — a proper coloring, deterministic.
+
+    Durable resume: with ``config.checkpoint_dir`` set, the partial
+    coloring plus the round counter are written every
+    ``config.checkpoint_every`` rounds; ``resume=True`` with the same
+    ``run_id`` continues at the next round. The round NUMBER is part of
+    the checkpoint because it seeds ``_round_hash`` — a resumed run
+    replays the exact same proposal sequence and lands on the identical
+    coloring (asserted in tests/test_loop_resume.py).
+    """
     config = config or EngineConfig()
     spark = graph.spark
     parts = config.partitions_for(spark)
@@ -151,7 +163,14 @@ def greedy_coloring(
         ).localCheckpoint(eager=True)
     )
     rounds = 0
-    for r in range(1, max_rounds + 1):
+    ckpt = LoopCheckpointer(spark, config, "coloring", run_id=run_id)
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, m = latest
+            colored = tables["colored"]
+            rounds = int(m.get("rounds", _rnd))
+    for r in range(rounds + 1, max_rounds + 1):
         rounds = r
         todo = colored.where(F.col("color").isNull()).select("vid")
         commit = _round_commits(todo, sym, colored, r)
@@ -167,6 +186,9 @@ def greedy_coloring(
         )
         colored.unpersist()
         colored = new_colored
+        saved = ckpt.save(r, {"colored": colored}, {"rounds": r})
+        if saved is not None:
+            colored = saved["colored"]
         if int(obs.get["n_uncolored"] or 0) == 0:
             break
     sym.unpersist()

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.loopckpt import LoopCheckpointer
 from planar_spark.graph.skew import maybe_broadcast
 from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
@@ -36,6 +37,8 @@ def k_core(
     max_rounds: int = 200,
     truncate_every: int = 8,
     metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(vid, in_core) over ALL vertices; in_core = 1 iff vid is in the
     k-core. Deterministic (the k-core is unique).
@@ -44,22 +47,42 @@ def k_core(
     ``frontier_sizes`` (vertices removed per round) and ``touched``
     (rows in the per-round degree-decrement aggregate — the actual
     post-round-0 work volume, asserted O(frontier) in the tests).
+
+    Durable resume: with ``config.checkpoint_dir`` set, the peeling
+    state (vid, deg) plus the driver counters are written every
+    ``config.checkpoint_every`` rounds; ``resume=True`` with the same
+    ``run_id`` continues peeling from the newest completed round.
     """
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
     sym = graph.symmetric_edges().repartition(parts, "src").persist()
-    # Round 0: the one full O(E) degree aggregation. The state is
-    # (vid, deg) for vertices with deg >= 1, hash-partitioned by vid
-    # (groupBy output partitioning), kept cached across rounds.
-    state = sym.groupBy(F.col("src").alias("vid")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).persist()
-    state.count()
 
     rounds = 0
     frontier_sizes: list[int] = []
     touched: list[int] = []
-    for r in range(max_rounds):
+    ckpt = LoopCheckpointer(graph.spark, config, "kcore", run_id=run_id)
+    state = None
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, m = latest
+            state = (
+                tables["state"].repartition(parts, "vid").persist()
+            )
+            state.count()
+            rounds = int(m.get("rounds", _rnd))
+            frontier_sizes = list(m.get("frontier_sizes", []))
+            touched = list(m.get("touched", []))
+    if state is None:
+        # Round 0: the one full O(E) degree aggregation. The state is
+        # (vid, deg) for vertices with deg >= 1, hash-partitioned by vid
+        # (groupBy output partitioning), kept cached across rounds.
+        state = sym.groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ).persist()
+        state.count()
+
+    for r in range(rounds, max_rounds):
         obs_f = Observation()
         removed = releaf(
             state.where(F.col("deg") < k)
@@ -103,6 +126,16 @@ def k_core(
         touched.append(int(obs_l.get["touched"] or 0))
         state.unpersist()
         state = new_state
+        if ckpt.due(rounds):
+            ckpt.save(
+                rounds,
+                {"state": state},
+                {
+                    "rounds": rounds,
+                    "frontier_sizes": frontier_sizes,
+                    "touched": touched,
+                },
+            )
     sym.unpersist()
     if metrics_out is not None:
         metrics_out["rounds"] = rounds

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.loopckpt import LoopCheckpointer
 from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
@@ -52,12 +53,21 @@ def boruvka_msf(
     max_rounds: int = 30,
     max_jumps: int = 40,
     metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns the spanning-forest edges (a, b) with a < b.
 
     ``metrics_out`` (optional dict) receives ``rounds``, ``jumps`` (total
     pointer-doubling jobs across all rounds) and ``picked_per_round`` —
     used by the job-diet regression test and the bench extras.
+
+    Durable resume: with ``config.checkpoint_dir`` set, every
+    ``config.checkpoint_every``-th completed Boruvka round writes the
+    full loop state (labels + forest-so-far) plus the driver counters
+    through LoopCheckpointer; ``resume=True`` with the same ``run_id``
+    re-enters the loop at the newest completed round instead of round 0
+    (tested kill/resume-identical in tests/test_loop_resume.py).
     """
     config = config or EngineConfig()
     spark = graph.spark
@@ -74,7 +84,18 @@ def boruvka_msf(
     total_jumps = 0
     picked_per_round: list[int] = []
 
-    for _ in range(max_rounds):
+    ckpt = LoopCheckpointer(spark, config, "msf", run_id=run_id)
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, m = latest
+            labels = tables["labels"]
+            forest_parts = [tables["forest"]]
+            rounds = int(m.get("rounds", _rnd))
+            total_jumps = int(m.get("jumps", 0))
+            picked_per_round = list(m.get("picked_per_round", []))
+
+    for _ in range(rounds, max_rounds):
         la = labels.select(F.col("vid").alias("a"), F.col("label").alias("ca"))
         lb = labels.select(F.col("vid").alias("b"), F.col("label").alias("cb"))
         live = (
@@ -151,6 +172,23 @@ def boruvka_msf(
             labels = jumped
             if int(obs_j.get["changed"] or 0) == 0:
                 break
+        if ckpt.due(rounds):
+            forest_df = forest_parts[0]
+            for part in forest_parts[1:]:
+                forest_df = forest_df.unionAll(part)
+            saved = ckpt.save(
+                rounds,
+                {"labels": labels, "forest": forest_df},
+                {
+                    "rounds": rounds,
+                    "jumps": total_jumps,
+                    "picked_per_round": picked_per_round,
+                },
+            )
+            # root the rest of the loop at the durable copy (lineage
+            # truncation, same discipline as SuperstepEngine)
+            labels = saved["labels"]
+            forest_parts = [saved["forest"]]
 
     und.unpersist()
     if metrics_out is not None:

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.loopckpt import LoopCheckpointer
 from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
@@ -53,9 +54,20 @@ def strongly_connected_components(
     max_outer: int = 25,
     max_inner: int = 120,
     metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns (vid, scc_id) for every vertex; scc_id = min vid of the
-    strongly connected component (singletons map to themselves)."""
+    strongly connected component (singletons map to themselves).
+
+    Durable resume: with ``config.checkpoint_dir`` set, the end of every
+    ``config.checkpoint_every``-th OUTER round (trim + color + sweep)
+    writes the unassigned active set plus the assignments-so-far;
+    ``resume=True`` with the same ``run_id`` re-enters the outer loop on
+    the restored active set. Outer rounds are the unit because the inner
+    fixpoints are cheap relative to a full restart and their state
+    (colors, sweep marks) is meaningless outside the round.
+    """
     config = config or EngineConfig()
     spark = graph.spark
     parts = config.partitions_for(spark)
@@ -68,8 +80,18 @@ def strongly_connected_components(
     outer_rounds = 0
     inner_jobs = 0
 
+    ckpt = LoopCheckpointer(spark, config, "scc", run_id=run_id)
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, m = latest
+            active = tables["active"]
+            assigned_parts = [tables["assigned"]]
+            outer_rounds = int(m.get("outer_rounds", _rnd))
+            inner_jobs = int(m.get("inner_jobs", 0))
+
     all_assigned = False
-    for _ in range(max_outer):
+    for _ in range(outer_rounds, max_outer):
         outer_rounds += 1
         # Active edge set: both endpoints still unassigned.
         a_src = active.select(F.col("vid").alias("src"))
@@ -206,6 +228,17 @@ def strongly_connected_components(
 
         assigned_parts.append(marked.select("vid", F.col("scc").alias("scc_id")))
         active = _ckpt(active.join(marked.select("vid"), "vid", "left_anti"))
+        if ckpt.due(outer_rounds):
+            assigned_df = assigned_parts[0]
+            for part in assigned_parts[1:]:
+                assigned_df = assigned_df.unionAll(part)
+            saved = ckpt.save(
+                outer_rounds,
+                {"active": active, "assigned": assigned_df},
+                {"outer_rounds": outer_rounds, "inner_jobs": inner_jobs},
+            )
+            active = saved["active"]
+            assigned_parts = [saved["assigned"]]
 
     if not all_assigned:
         # the final round may have drained active without re-entering

@@ -1,0 +1,144 @@
+"""Kill/resume for the self-managed loop kernels (msf, scc, coloring,
+k-core) — the durable-checkpoint analogue of tests/test_resume.py for
+SuperstepEngine kernels. Each test runs the kernel partially ("the
+crash"), resumes with a fresh call pointing at the same run_id, and
+asserts the resumed result is IDENTICAL to an uninterrupted run."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from planar_spark.config import EngineConfig
+from planar_spark.ingest.pages import edges_powerlaw
+
+from tests.conftest import graph_from_numpy
+
+
+def _cfg(tmp_path) -> EngineConfig:
+    return EngineConfig(
+        num_partitions=8, tolerance=0.0, checkpoint_dir=str(tmp_path)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_msf_resume_equals_uninterrupted(spark, tmp_path):
+    from planar_spark.kernels.mst import boruvka_msf
+
+    # two stars (centers 0 and 1) bridged leaf-to-leaf by (29, 49):
+    # round 1 picks only star edges (the bridge loses the lexicographic
+    # min to (0,29)/(1,49) at both endpoints), round 2 picks the bridge
+    # — a guaranteed 2-round Boruvka so the crash really is partial.
+    edges = np.array(
+        [(0, leaf) for leaf in range(10, 30)]
+        + [(1, leaf) for leaf in range(30, 50)]
+        + [(29, 49)]
+    )
+    g = graph_from_numpy(spark, edges, 50)
+    cfg = _cfg(tmp_path)
+    # partial run ("the crash"): only 1 Boruvka round completes
+    partial = boruvka_msf(g, cfg, max_rounds=1, run_id="msf1")
+    assert partial.count() == 40  # the star edges, not yet the bridge
+    # resume from the durable round-1 state
+    m: dict = {}
+    resumed = boruvka_msf(
+        g, cfg, run_id="msf1", resume=True, metrics_out=m
+    )
+    full = boruvka_msf(g, cfg)
+    assert resumed.count() == 41
+    assert _rows(resumed) == _rows(full)
+    assert m["rounds"] == 2  # counters restored AND advanced
+
+
+def test_scc_resume_after_crash(spark, tmp_path):
+    from planar_spark.kernels.scc import strongly_connected_components
+
+    # cycle A (0-4) -> cycle B (5-9): needs 2 outer rounds (round 1
+    # colors everything with min(A) but can only sweep cycle A).
+    edges = np.array(
+        [(i, (i + 1) % 5) for i in range(5)]
+        + [(5 + i, 5 + (i + 1) % 5) for i in range(5)]
+        + [(0, 5)]
+    )
+    g = graph_from_numpy(spark, edges, 10)
+    cfg = _cfg(tmp_path)
+    # the crash: max_outer=1 fails loudly AFTER round 1's checkpoint
+    with pytest.raises(RuntimeError):
+        strongly_connected_components(g, cfg, max_outer=1, run_id="scc1")
+    m: dict = {}
+    resumed = strongly_connected_components(
+        g, cfg, run_id="scc1", resume=True, metrics_out=m
+    )
+    full = strongly_connected_components(g, cfg)
+    assert _rows(resumed) == _rows(full)
+    # resumed run did NOT redo round 1: total outer rounds includes the
+    # restored counter, and both cycles are separate SCCs
+    assert m["outer_rounds"] >= 2
+    got = {r["vid"]: r["scc_id"] for r in resumed.collect()}
+    assert all(got[v] == 0 for v in range(5))
+    assert all(got[v] == 5 for v in range(5, 10))
+
+
+def test_coloring_resume_identical_colors(spark, tmp_path):
+    """Round numbers seed the proposal hash, so a resumed run must
+    replay the exact same color sequence — bit-identical output."""
+    from planar_spark.kernels.coloring import greedy_coloring
+
+    edges = edges_powerlaw(150, m=3, seed=13)
+    g = graph_from_numpy(spark, edges, 150)
+    cfg = _cfg(tmp_path)
+    partial = greedy_coloring(g, cfg, max_rounds=1, run_id="col1")
+    # the crash left uncolored vertices behind
+    assert partial.where(partial["color"].isNull()).count() > 0
+    m: dict = {}
+    resumed = greedy_coloring(
+        g, cfg, run_id="col1", resume=True, metrics_out=m
+    )
+    full = greedy_coloring(g, cfg)
+    assert _rows(resumed) == _rows(full)
+    assert m["rounds"] > 1
+
+
+def test_kcore_resume_equals_uninterrupted(spark, tmp_path):
+    from planar_spark.kernels.kcore import k_core
+
+    # a path graph peels one vertex pair per round at k=2 — many rounds
+    edges = np.array([(i, i + 1) for i in range(19)])
+    g = graph_from_numpy(spark, edges, 20)
+    cfg = _cfg(tmp_path)
+    k_core(g, k=2, config=cfg, max_rounds=2, run_id="kc1")
+    m: dict = {}
+    resumed = k_core(
+        g, k=2, config=cfg, run_id="kc1", resume=True, metrics_out=m
+    )
+    full = k_core(g, k=2, config=cfg)
+    assert _rows(resumed) == _rows(full)
+    # path graph: nothing survives the 2-core
+    assert resumed.where(resumed["in_core"] == 1).count() == 0
+    assert len(m["frontier_sizes"]) == m["rounds"] and m["rounds"] > 2
+
+
+def test_loop_ckpt_ignores_incomplete_round(spark, tmp_path):
+    """A round dir without its completion marker (killed mid-write)
+    must be invisible to latest()."""
+    import os
+    import shutil
+
+    from planar_spark.graph.loopckpt import LoopCheckpointer
+    from planar_spark.kernels.mst import boruvka_msf
+
+    edges = edges_powerlaw(120, m=2, seed=3)
+    g = graph_from_numpy(spark, edges, 120)
+    cfg = _cfg(tmp_path)
+    boruvka_msf(g, cfg, max_rounds=1, run_id="msfX")
+    base = os.path.join(str(tmp_path), "msf", "msfX")
+    src = os.path.join(base, "round=00001")
+    dst = os.path.join(base, "round=00002")
+    shutil.copytree(src, dst)
+    os.remove(os.path.join(dst, "_META.json"))
+    ck = LoopCheckpointer(spark, cfg, "msf", run_id="msfX")
+    found = ck.latest()
+    assert found is not None and found[0] == 1

@@ -64,14 +64,61 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _cap_buckets(
+    buckets: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Giant-bucket guard: append a ``sub`` column that splits any
+    (band, bkey) bucket larger than ``max_bucket`` into ceil(n/cap)
+    sub-buckets on a secondary deterministic hash of the member id.
+
+    Why: the within-bucket self-join is quadratic in bucket size. A
+    duplicate-heavy crawl — exactly the data dedup targets — can put
+    millions of docs into ONE band bucket (identical boilerplate pages
+    share every minhash), and an unguarded join goes O(m²). Sub-salting
+    bounds every join group to ~max_bucket rows, so candidate volume is
+    O(Σ cap·n_bucket) instead of O(Σ n_bucket²). The trade: two members
+    of a split bucket in different sub-buckets are not candidates
+    through THAT band (they usually still collide in another band; for
+    true duplicates every band collides, so each band contributes its
+    own independent 1/s chance of co-landing). Buckets at or under the
+    cap are untouched, so results are identical to the unguarded join
+    whenever no bucket exceeds the cap."""
+    counts = buckets.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        buckets.join(counts, ["band", "bkey"])
+        .select(
+            "band",
+            "bkey",
+            F.when(
+                F.col("_n") > max_bucket,
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("_n") / max_bucket).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("sub"),
+            id_col,
+        )
+    )
+
+
 def lsh_candidate_pairs(
-    docs: DataFrame, n: int = 3, num_hashes: int = 8, bands: int = 4
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs (a < b): docs sharing >=1 LSH band.
 
     Signature split into ``bands`` bands of r = num_hashes/bands rows;
     band key = md5 of the concatenated band slice. The band self-join is
-    the scale path: buckets, not all-pairs.
+    the scale path: buckets, not all-pairs — and any bucket larger than
+    ``max_bucket`` is sub-salted (see _cap_buckets) so no join group is
+    ever quadratic in a boilerplate-duplicate pile-up.
     """
     r = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes)
@@ -88,10 +135,11 @@ def lsh_candidate_pairs(
     buckets = band_rows[0]
     for more in band_rows[1:]:
         buckets = buckets.unionAll(more)
-    left = buckets.select("band", "bkey", F.col("doc_id").alias("a"))
-    right = buckets.select("band", "bkey", F.col("doc_id").alias("b"))
+    capped = _cap_buckets(buckets, "doc_id", max_bucket)
+    left = capped.select("band", "bkey", "sub", F.col("doc_id").alias("a"))
+    right = capped.select("band", "bkey", "sub", F.col("doc_id").alias("b"))
     return (
-        left.join(right, ["band", "bkey"])
+        left.join(right, ["band", "bkey", "sub"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -264,6 +312,7 @@ def embedding_ann_topk(
     dim: int = 64,
     n_planes: int = 24,
     bands: int = 8,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """(q, neighbor, sim) — bucketed ANN cosine top-k per query vector.
 
@@ -304,12 +353,16 @@ def embedding_ann_topk(
     buckets = band_rows[0]
     for more in band_rows[1:]:
         buckets = buckets.unionAll(more)
-    qb = buckets.where(F.col("vec_id") % query_mod == 0).select(
-        "band", "bkey", F.col("vec_id").alias("q")
+    # same giant-bucket guard as lsh_candidate_pairs: a low-entropy
+    # embedding pile-up (many near-identical vectors share every sign
+    # bit) must not make the bucket self-join quadratic
+    capped = _cap_buckets(buckets, "vec_id", max_bucket)
+    qb = capped.where(F.col("vec_id") % query_mod == 0).select(
+        "band", "bkey", "sub", F.col("vec_id").alias("q")
     )
-    nb = buckets.select("band", "bkey", F.col("vec_id").alias("neighbor"))
+    nb = capped.select("band", "bkey", "sub", F.col("vec_id").alias("neighbor"))
     cand = (
-        qb.join(nb, ["band", "bkey"])
+        qb.join(nb, ["band", "bkey", "sub"])
         .where(F.col("q") != F.col("neighbor"))
         .select("q", "neighbor")
         .distinct()
@@ -663,6 +716,7 @@ def near_dup_clusters(
         docs.select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), "label"
@@ -685,5 +739,13 @@ def near_dup_clusters(
             .localCheckpoint(eager=True)
         )
         if int(obs.get["changed"] or 0) == 0:
+            converged = True
             break
+    if not converged:
+        # an exhausted loop would silently under-merge a >max_rounds-
+        # diameter chain — fail loudly, same convention as scc/mst
+        raise RuntimeError(
+            f"near_dup_clusters: hash-min not converged in {max_rounds} "
+            "rounds; raise max_rounds (pair-graph diameter exceeds it)"
+        )
     return labels.select("doc_id", F.col("label").alias("canonical_id"))

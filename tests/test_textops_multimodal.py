@@ -264,3 +264,73 @@ def test_quality_langid_and_near_dup_clusters(spark, docs):
     assert clusters[3] == 0          # exact dup joins doc 0's cluster
     assert clusters[1] == 0          # near dup (jaccard 0.75) too
     assert clusters[2] == 2          # unique doc is its own canonical
+
+
+def test_lsh_giant_bucket_guard(spark):
+    """All-duplicates adversarial corpus: every band bucket holds every
+    doc. Unguarded, the bucket self-join is all-pairs O(m²); with the
+    cap, buckets split into ceil(m/cap) sub-buckets and candidate rows
+    equal exactly the sum of within-sub-bucket pairs."""
+    m, cap = 200, 20
+    docs = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page text repeated on every page").alias(
+            "text"
+        ),
+    )
+    all_pairs = m * (m - 1) // 2
+    # default (cap never reached at gate/test scale): full all-pairs set
+    assert lsh_candidate_pairs(docs).count() == all_pairs
+    # guarded: identical docs share identical sub assignment in every
+    # band (sub hashes only doc_id), so the candidate set is exactly the
+    # within-sub-bucket pairs of ONE split — deterministically countable
+    s = -(-m // cap)
+    sizes = [
+        r["n"]
+        for r in spark.range(m)
+        .select(F.pmod(F.xxhash64(F.col("id")), F.lit(s)).alias("sub"))
+        .groupBy("sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    expected = sum(c * (c - 1) // 2 for c in sizes)
+    got = lsh_candidate_pairs(docs, max_bucket=cap).count()
+    assert got == expected
+    assert got < all_pairs // 4  # quadratic blowup actually defused
+
+
+def test_ann_giant_bucket_guard(spark):
+    """Identical embeddings collapse every sign bit into one bucket per
+    band; the guard must keep the join bounded and still return top-k."""
+    m, dim = 300, 8
+    emb = spark.range(m).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(dim)]).alias(
+            "embedding"
+        ),
+    )
+    from planar_spark.kernels.textops import embedding_ann_topk
+
+    out = embedding_ann_topk(
+        emb, query_mod=100, k=5, dim=dim, n_planes=8, bands=4, max_bucket=30
+    ).collect()
+    # 3 queries (vec_id 0/100/200), each with at most k neighbors, all
+    # cosine 1.0 against identical vectors
+    assert 0 < len(out) <= 3 * 5
+    assert all(abs(r["sim"] - 1.0) < 1e-9 for r in out)
+
+
+def test_near_dup_clusters_fail_loud_on_exhaustion(spark):
+    """A pair-graph chain of diameter > max_rounds must raise, never
+    silently under-merge (same convention as scc/mst fixpoints)."""
+    from planar_spark.kernels.textops import near_dup_clusters
+
+    # chain of exact duplicates: doc i pairs with i+1 (identical text)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        schema="doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        near_dup_clusters(docs, max_rounds=1)
+    ok = near_dup_clusters(docs)
+    assert all(r["canonical_id"] == 0 for r in ok.collect())

@@ -41,11 +41,8 @@ def balanced_range_partition(
 ) -> DataFrame:
     """Contiguous vid ranges with ~equal EDGE counts (T6).
 
-    1. degree prefix-sum over vid order (a running-sum window per
-       range-partitioned chunk would also work; degrees is |V|-sized —
-       small relative to edges — so a single window pass is acceptable
-       up to ~10^9 vertices, and the output is only `num_partitions`
-       boundary vids, computed once per graph load);
+    1. distributed degree prefix-sum over vid order (two-pass, never a
+       single-partition window — see balanced_range_bounds);
     2. boundary vids at multiples of |E|/num_partitions;
     3. edges bucketed by src range via a broadcast range join.
 
@@ -70,16 +67,54 @@ def balanced_range_bounds(
 ) -> DataFrame | None:
     """(part, lo, hi) contiguous vid ranges with ~equal edge counts, or
     None for an empty graph. Exposed separately so locality diagnostics
-    can map vertices to their range partition."""
-    total = degrees.agg(F.sum("out_deg")).collect()[0][0] or 0
+    can map vertices to their range partition.
+
+    The degree prefix-sum is DISTRIBUTED (the two-pass pattern from
+    ingest/build.py's dictionary_encode, never a global
+    ``Window.orderBy`` whose single-partition Exchange serializes |V|
+    rows through one task): range-partition degrees by vid and
+    materialize once (freezing the partition ids), collect one
+    per-partition subtotal row per partition (num_partitions scalars —
+    the only driver traffic), then add each partition's broadcast
+    offset to a partition-LOCAL running sum. Works unchanged at 10^9+
+    vertices; asserted single-partition-Exchange-free in
+    tests/test_partition.py."""
+    from pyspark.sql import Window as W
+
+    from planar_spark.graph.superstep import releaf
+
+    d = releaf(
+        degrees.select("vid", "out_deg")
+        .repartitionByRange(num_partitions, "vid")
+        .sortWithinPartitions("vid")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_pid = {
+        r["pid"]: int(r["s"] or 0)
+        for r in d.groupBy("pid").agg(F.sum("out_deg").alias("s")).collect()
+    }
+    total = sum(per_pid.values())
     if total == 0:
         return None
     target = max(1, total // num_partitions)
-    # prefix sums: cumulative edges up to and including each vid
-    from pyspark.sql import Window as W
-
-    w = W.orderBy("vid").rowsBetween(W.unboundedPreceding, 0)
-    pref = degrees.select("vid", F.sum("out_deg").over(w).alias("cum"))
+    offsets, acc = [], 0
+    for pid in sorted(per_pid):
+        offsets.append((pid, acc))
+        acc += per_pid[pid]
+    off_df = degrees.sparkSession.createDataFrame(
+        offsets, schema="pid int, off long"
+    )
+    w = (
+        W.partitionBy("pid")
+        .orderBy("vid")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pref = (
+        d.withColumn("run", F.sum("out_deg").over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select("vid", (F.col("off") + F.col("run")).alias("cum"))
+    )
     return (
         pref.withColumn(
             "part", F.least(

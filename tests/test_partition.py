@@ -119,3 +119,21 @@ def test_balanced_range_beats_hash_on_balance_and_locality(spark):
     mean = g.num_edges / P
     assert max(range_hist) / mean <= max(hash_hist) / mean
     assert max(range_hist) / mean <= 1.1
+
+
+def test_balanced_range_bounds_no_single_partition_exchange(spark):
+    """The degree prefix-sum must be the distributed two-pass form: no
+    stage of the bounds plan may funnel all rows through ONE partition
+    (the classic global-Window.orderBy scale-killer)."""
+    from planar_spark.graph.partition import balanced_range_bounds
+
+    n = 300
+    g = graph_from_numpy(spark, edges_powerlaw(n, m=3, seed=4), n)
+    bounds = balanced_range_bounds(g.edges, g.degrees, 4)
+    plan = bounds._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # and it still computes correct contiguous covering ranges
+    rows = sorted(bounds.collect(), key=lambda r: r["part"])
+    assert rows[0]["lo"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] < cur["lo"]

@@ -10,7 +10,8 @@ planar_spark/testdata_graph.py): undirected eccentricity <= 8 at both
 sf0.001/sf0.01, directed eccentricity <= 8 from the min vertex. SCC and
 bow-tie use EXACT recursive-closure oracles instead (round-structure-
 independent); wcc_incremental is value-hashed against the same
-full-recompute oracle as the batch wcc gate. 48 gates total, all hard.
+full-recompute oracle as the batch wcc gate. Every registered query has
+a matching oracle — all gates are hard (rows + schema + value hash).
 
 DuckDB 1.0 gotcha: inside WITH RECURSIVE, a sibling CTE whose body has
 a TOP-LEVEL ``UNION`` silently behaves like UNION ALL — always nest the
@@ -512,6 +513,24 @@ def _dist_hist_sql() -> str:
         + ") WHERE n_pairs > 0 OR dist = 0"
     )
     return "\n".join(parts)
+
+
+def _eff_diam_sql() -> str:
+    """Interpolated 90%-effective-diameter: a prefix-sum + linear
+    interpolation on top of the (already-gated) distance histogram.
+    All float math forced to DOUBLE (DuckDB parses 0.9 as DECIMAL,
+    whose multiply semantics differ from Spark's doubles)."""
+    return f"""WITH hist AS MATERIALIZED ({_dist_hist_sql()}),
+c AS (SELECT dist, n_pairs,
+             SUM(n_pairs) OVER (ORDER BY dist) AS cum FROM hist),
+tgt AS (SELECT CAST(0.9 AS DOUBLE) * SUM(n_pairs) AS target FROM hist),
+hit AS (SELECT dist, n_pairs, cum - n_pairs AS prev
+        FROM c, tgt WHERE cum >= target ORDER BY dist LIMIT 1)
+SELECT CAST(0.9 AS DOUBLE) AS q,
+       ROUND(CASE WHEN dist = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE dist - 1 + (target - prev) / n_pairs END,
+             6) AS eff_diameter
+FROM hit, tgt"""
 
 
 HITS_ITERS = 4
@@ -1137,6 +1156,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return distance_histogram(g, DIST_RADIUS, _cfg())
 
+    def q_effective_diameter(spark, sf_dir):
+        from planar_spark.kernels.hyperball import effective_diameter
+
+        g = _graph(spark, sf_dir)
+        return effective_diameter(g, DIST_RADIUS, q=0.9, config=_cfg())
+
+    def q_pagerank_warmstart(spark, sf_dir):
+        """Warm-start path: run 2 cold supersteps, then restart pagerank
+        from that state for the remaining 3 — step-continuation must be
+        exact, so the oracle is the SAME 5-iteration unrolled SQL as the
+        cold pagerank gate."""
+        g = _graph(spark, sf_dir)
+        head = pagerank(g, _cfg(), num_iterations=2)
+        tail = pagerank(
+            g,
+            _cfg(),
+            num_iterations=PR_ITERS - 2,
+            init_ranks=head.state.select("vid", "pr"),
+        )
+        return tail.state.select("vid", F.round("pr", 5).alias("pr"))
+
     def q_edge_sample(spark, sf_dir):
         from planar_spark.kernels.graphstats import sample_edges
 
@@ -1520,6 +1560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "neighborhood_function": q_neighborhood_function,
         "distance_histogram": q_distance_histogram,
+        "effective_diameter": q_effective_diameter,
+        "pagerank_warmstart": q_pagerank_warmstart,
         "edge_sample": q_edge_sample,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
@@ -1642,6 +1684,10 @@ FROM documents d CROSS JOIN pos""",
         "bowtie": _bowtie_sql(),
         "neighborhood_function": _nf_sql(),
         "distance_histogram": _dist_hist_sql(),
+        "effective_diameter": _eff_diam_sql(),
+        # warm-start = exact step-continuation, so the converged result
+        # is the same 5-iteration fixpoint as the cold gate
+        "pagerank_warmstart": _pagerank_sql(),
         "edge_sample": f"""WITH {_EDGES}
 SELECT src, dst FROM edges
 WHERE CAST(('0x' || substr(md5('e0' || CAST(src AS VARCHAR) || '_'

@@ -104,6 +104,43 @@ def distance_histogram(
     )
 
 
+def effective_diameter(
+    graph: GraphTables,
+    radius: int,
+    q: float = 0.9,
+    config: EngineConfig | None = None,
+) -> DataFrame:
+    """One row (q, eff_diameter): the standard interpolated effective
+    diameter — the (linearly interpolated) distance d at which the
+    cumulative count of ordered reachable pairs first covers fraction
+    ``q`` of all pairs reachable within ``radius`` (Palmer et al.;
+    the scalar web-graph papers report from the neighborhood function).
+
+    Derivation is a prefix-sum over the (<= radius+1)-row distance
+    histogram — the histogram job does all the distributed work, the
+    interpolation is driver-side arithmetic on a handful of scalars.
+    Interpolated: eff = (d-1) + (q·total − cum(d−1)) / hist(d), where d
+    is the first distance whose cumulative count reaches the target
+    (d=0 degenerates to 0.0). Rounded via F.round on the result plan so
+    tie-breaking matches the SQL oracle's ROUND.
+    """
+    hist = distance_histogram(graph, radius, config).collect()
+    counts = sorted((int(r["dist"]), int(r["n_pairs"])) for r in hist)
+    total = sum(n for _, n in counts)
+    target = q * total
+    cum = 0
+    eff = float(counts[-1][0])
+    for dist, n in counts:
+        prev = cum
+        cum += n
+        if cum >= target:
+            eff = 0.0 if dist == 0 else (dist - 1) + (target - prev) / n
+            break
+    return graph.spark.createDataFrame(
+        [(float(q), float(eff))], schema="q double, eff_diameter double"
+    ).select("q", F.round("eff_diameter", 6).alias("eff_diameter"))
+
+
 def hyperball(
     graph: GraphTables,
     radius: int,

@@ -71,3 +71,35 @@ def test_pagerank_early_stop(spark):
     result = pagerank(g, cfg, num_iterations=30)
     assert result.converged
     assert result.steps_run < 30
+
+
+def test_pagerank_warmstart_converges_in_one_step(spark):
+    """Warm-starting from a converged state must re-reach the fixpoint
+    immediately (the nightly-maintenance story), and warm-start on the
+    same graph is exact step-continuation."""
+    import numpy as np
+    from planar_spark.ingest.pages import edges_powerlaw
+    from tests.conftest import graph_from_numpy
+
+    edges = edges_powerlaw(300, m=3, seed=21)
+    g = graph_from_numpy(spark, edges, 300)
+    cfg = EngineConfig(num_partitions=8, tolerance=1e-12)
+    cold = pagerank(g, cfg, num_iterations=60)
+    assert cold.converged
+    warm = pagerank(
+        g, cfg, num_iterations=60,
+        init_ranks=cold.state.select("vid", "pr"),
+    )
+    assert warm.converged and warm.steps_run == 1
+    assert warm.steps_run < cold.steps_run
+    # step-continuation: 2 cold + 3 warm == 5 cold, bit-identical
+    cfg0 = EngineConfig(num_partitions=8, tolerance=0.0)
+    head = pagerank(g, cfg0, num_iterations=2)
+    cont = pagerank(
+        g, cfg0, num_iterations=3,
+        init_ranks=head.state.select("vid", "pr"),
+    )
+    five = pagerank(g, cfg0, num_iterations=5)
+    a = sorted((r["vid"], r["pr"]) for r in cont.state.collect())
+    b = sorted((r["vid"], r["pr"]) for r in five.state.collect())
+    assert a == b

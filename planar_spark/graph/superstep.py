@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import time
 import uuid
+import warnings
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -80,7 +81,19 @@ def releaf(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(new_jdf, spark)
-    except Exception:  # pragma: no cover — internal API moved/renamed
+    except Exception as e:  # internal API moved/renamed
+        # never silent: without the stats reset, self-join loop kernels
+        # degrade to seconds-per-round driver-side BigInteger planning
+        # by round ~18 — a production run must be able to SEE that it is
+        # running in the degraded mode
+        warnings.warn(
+            f"releaf: statistics-reset fast path unavailable ({e!r}); "
+            "falling back to the raw checkpoint. Iterative self-join "
+            "kernels may hit the inherited-sizeInBytes blowup "
+            "(see superstep.releaf docstring).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return df
 
 

@@ -55,7 +55,24 @@ ROUND_MULT = 40503  # 16-bit golden-ratio constant for the round mix
 
 
 def _prio(col):
-    return F.pmod(col * F.lit(PRIO_MULT), F.lit(PRIO_MOD))
+    """(vid * PRIO_MULT) mod 2^32, overflow-safe at ANY int64 vid.
+
+    A naive ``col * PRIO_MULT`` wraps int64 for vid >= ~3.47e9 (silent
+    wraparound, or an error under spark.sql.ansi.enabled) and would
+    diverge from the arbitrary-precision python/DuckDB oracles at
+    multi-billion-vertex scale. Identity used: a*M mod m ==
+    ((a mod m)*M) mod m, then the 32-bit residue is split into 16-bit
+    halves so every intermediate stays below 2^48. Bit-identical to the
+    naive product for all vid (asserted vs big-int python in tests)."""
+    v = F.pmod(col.cast("long"), F.lit(PRIO_MOD))
+    lo = v.bitwiseAND(F.lit((1 << 16) - 1))
+    hi = F.shiftright(v, 16)
+    term_lo = F.pmod(lo * F.lit(PRIO_MULT), F.lit(PRIO_MOD))
+    term_hi = F.pmod(
+        F.pmod(hi * F.lit(PRIO_MULT), F.lit(PRIO_MOD)) * F.lit(1 << 16),
+        F.lit(PRIO_MOD),
+    )
+    return F.pmod(term_lo + term_hi, F.lit(PRIO_MOD))
 
 
 def _round_hash(vid_col, round_no: int):

@@ -77,13 +77,47 @@ def hits(
         .sortWithinPartitions("src")
         .persist()
     )
-    out_hubs_df = hub_vertices(graph.degrees, config.hub_degree_threshold)
-    out_hubs = out_hubs_df if out_hubs_df.limit(1).count() > 0 else None
+    # Both hub sets (out-degree for the auth gather, in-degree for the
+    # hub gather) ride ONE driver action: union the two tiny filtered
+    # sets, observe the per-side counts on the materialization job, and
+    # keep the result as a leaf so later per-superstep broadcasts of a
+    # non-empty hub set never re-run the O(E) in-degree aggregation.
+    # (Previously two standalone limit(1).count() probes, the second
+    # forcing a full in-degree agg on its own — counter to the
+    # barrier-diet discipline even though it ran only once per call.)
+    from pyspark.sql import Observation
+
+    from planar_spark.graph.superstep import releaf
+
     in_deg = rev.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    in_hubs_df = hub_vertices(in_deg, config.hub_degree_threshold)
-    in_hubs = in_hubs_df if in_hubs_df.limit(1).count() > 0 else None
+    both = hub_vertices(graph.degrees, config.hub_degree_threshold).select(
+        F.lit(0).alias("side"), "vid"
+    ).unionAll(
+        hub_vertices(in_deg, config.hub_degree_threshold).select(
+            F.lit(1).alias("side"), "vid"
+        )
+    )
+    obs = Observation()
+    hubs_leaf = releaf(
+        both.observe(
+            obs,
+            F.sum((F.col("side") == 0).cast("long")).alias("n_out"),
+            F.sum((F.col("side") == 1).cast("long")).alias("n_in"),
+        ).localCheckpoint(eager=True)
+    )
+    probe = obs.get
+    out_hubs = (
+        hubs_leaf.where(F.col("side") == 0).select("vid")
+        if int(probe["n_out"] or 0)
+        else None
+    )
+    in_hubs = (
+        hubs_leaf.where(F.col("side") == 1).select("vid")
+        if int(probe["n_in"] or 0)
+        else None
+    )
 
     base = graph.degrees.select("vid")  # one row per vertex, vid-partitioned
 

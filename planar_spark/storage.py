@@ -130,6 +130,16 @@ class TableStore:
                 .saveAsTable(self._fallback_table(name))
             )
         else:
+            # an earlier bucketed write of the SAME name registered a
+            # session-catalog entry over this path; writing plain
+            # parquet now would leave that entry — with now-wrong
+            # bucketing metadata — shadowing the fresh layout in read()
+            tbl = self._fallback_table(name)
+            try:
+                if self.spark.catalog.tableExists(tbl):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            except Exception:  # pragma: no cover - catalog probe only
+                pass
             df.write.mode(mode).parquet(self._path(name))
 
     def read(self, name: str) -> DataFrame:

@@ -115,3 +115,41 @@ def test_k_core_matches_python_peeling(spark, config):
     assert 0 < len(alive) < n  # the fixture must exercise real peeling
     for v in range(n):
         assert got[v] == (1 if v in alive else 0), v
+
+
+def test_coloring_prio_overflow_safe_matches_bigint(spark):
+    """_prio must equal (vid * 2654435761) mod 2^32 computed in
+    arbitrary precision for vids far beyond the int64-product overflow
+    point (~3.47e9) — the multi-billion-vertex scale case."""
+    from pyspark.sql import functions as F
+
+    from planar_spark.kernels.coloring import PRIO_MOD, PRIO_MULT, _prio
+
+    vids = [0, 1, 7, 2**31, 3_470_000_000, 2**32 - 1, 2**32, 2**40 + 123,
+            2**62 + 999_999_937]
+    df = spark.createDataFrame([(v,) for v in vids], schema="vid long")
+    got = {
+        r["vid"]: r["p"]
+        for r in df.select("vid", _prio(F.col("vid")).alias("p")).collect()
+    }
+    for v in vids:
+        assert got[v] == (v * PRIO_MULT) % PRIO_MOD, v
+
+
+def test_releaf_fallback_warns(spark):
+    """A broken internal API must degrade LOUDLY (RuntimeWarning), not
+    silently return the stats-inheriting checkpoint."""
+    import pytest
+
+    from planar_spark.graph.superstep import releaf
+
+    df = spark.range(5).localCheckpoint()
+
+    class _Boom:
+        def queryExecution(self):
+            raise RuntimeError("internal API moved")
+
+    df._jdf = _Boom()
+    with pytest.warns(RuntimeWarning, match="fast path unavailable"):
+        out = releaf(df)
+    assert out is df

@@ -66,3 +66,19 @@ def test_bucketed_write_gives_zero_exchange_self_join(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql(f"DROP TABLE IF EXISTS {store._fallback_table('edges_b')}")
+
+
+def test_plain_rewrite_drops_stale_bucketed_entry(spark, tmp_path):
+    """A bucketed write followed by a plain write of the SAME name must
+    not leave the stale catalog entry (with now-wrong bucketing
+    metadata) shadowing the new parquet layout."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    df1 = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    store.write(df1, "tbl", bucket_by="k", num_buckets=4)
+    assert sorted(r["v"] for r in store.read("tbl").collect()) == [1] * 10
+    df2 = spark.range(3).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    store.write(df2, "tbl")  # plain parquet rewrite
+    got = store.read("tbl")
+    assert sorted(r["v"] for r in got.collect()) == [2, 2, 2]

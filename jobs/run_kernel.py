@@ -35,7 +35,7 @@ from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 KERNELS = (
     "pagerank", "wcc", "lpa", "triangles", "sssp",
     "msf", "coloring", "khop", "randomwalk", "kcore",
-    "scc", "hits", "ppr", "lcc", "bowtie", "stats",
+    "scc", "hits", "ppr", "lcc", "bowtie", "stats", "diameter",
 )
 
 
@@ -97,22 +97,32 @@ def main() -> None:
         out, meta = r.state, r
     elif args.kernel == "triangles":
         out, meta = triangle_count_per_vertex(g, cfg), None
+    # the self-managed loop kernels take --run-id/--resume too, via
+    # LoopCheckpointer (round-level durable state, graph/loopckpt.py)
     elif args.kernel == "msf":
         from planar_spark.kernels.mst import boruvka_msf
 
-        out, meta = boruvka_msf(g, cfg), None
+        out, meta = boruvka_msf(
+            g, cfg, run_id=args.run_id, resume=args.resume
+        ), None
     elif args.kernel == "coloring":
         from planar_spark.kernels.coloring import greedy_coloring
 
-        out, meta = greedy_coloring(g, cfg), None
+        out, meta = greedy_coloring(
+            g, cfg, run_id=args.run_id, resume=args.resume
+        ), None
     elif args.kernel == "kcore":
         from planar_spark.kernels.kcore import k_core
 
-        out, meta = k_core(g, k=args.k, config=cfg), None
+        out, meta = k_core(
+            g, k=args.k, config=cfg, run_id=args.run_id, resume=args.resume
+        ), None
     elif args.kernel == "scc":
         from planar_spark.kernels.scc import strongly_connected_components
 
-        out, meta = strongly_connected_components(g, cfg), None
+        out, meta = strongly_connected_components(
+            g, cfg, run_id=args.run_id, resume=args.resume
+        ), None
     elif args.kernel == "hits":
         from planar_spark.kernels.hits import hits
 
@@ -162,6 +172,14 @@ def main() -> None:
             F.col("alpha").cast("double").alias("value"),
         )
         out, meta = h.unionByName(r).unionByName(a), None
+    elif args.kernel == "diameter":
+        # interpolated 90% effective diameter; --iterations caps the
+        # BFS radius of the underlying exact distance histogram
+        from planar_spark.kernels.hyperball import effective_diameter
+
+        out, meta = effective_diameter(
+            g, args.iterations or 8, q=0.9, config=cfg
+        ), None
     elif args.kernel == "khop":
         from planar_spark.kernels.neighborhood import khop_risk
 

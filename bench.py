@@ -20,7 +20,9 @@ Two graph sizes:
   median-of-N.
 - big graph: the same derivation expanded 16x into a 2^20-vertex space
   (~9.5M edges at sf0.1) so per-kernel timings dominate fixed overhead
-  — PageRank + WCC, single run, reported under "big_graph".
+  — PageRank + WCC plus the round-heavy kernels (msf/scc/coloring/
+  kcore) and HyperBall sketch mode with an HLL error check, single run
+  each, reported under "big_graph".
 
 PageRank throughput is the BASELINE.md target metric: edges/sec =
 num_edges * supersteps / seconds, plus supersteps/hour.
@@ -227,7 +229,14 @@ def main() -> None:
     timed_extra("near_dup_clusters", lambda: near_dup_clusters(docs).count())
     timed_extra("embedding_ann_topk", lambda: embedding_ann_topk(emb).count())
 
-    # Big-graph pass: PageRank + WCC once at ~16x the edges.
+    # Big-graph pass at ~16x the edges: PageRank + WCC plus the
+    # ROUND-HEAVY kernels (msf/scc/coloring/kcore) whose real scale cost
+    # is driver-round latency — measured here at a size where per-round
+    # work dominates fixed job overhead. HyperBall sketch mode runs at
+    # the same size to evidence the O(V·sketch) state claim with a
+    # wall-clock number, and its r=1 estimates are checked against the
+    # exact 1-hop ball (1 + distinct out-neighbors) for the HLL error
+    # bound (~1.04/sqrt(2^lgK) ≈ 3.3% at lgK=10).
     big: dict[str, object] = {}
     try:
         bg = big_bench_graph(spark, sf_dir, parts)
@@ -247,6 +256,73 @@ def main() -> None:
             ),
             "wcc_sec": big_wcc_sec,
         }
+
+        def timed_big(name, fn):
+            t0 = time.time()
+            try:
+                fn()
+                big[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — bench must keep going
+                big[name] = f"error: {type(e).__name__}: {e}"
+
+        from planar_spark.kernels.hyperball import hyperball
+        from planar_spark.kernels.scc import (
+            strongly_connected_components as scc_fn,
+        )
+
+        msf_m: dict = {}
+        timed_big(
+            "msf_sec",
+            lambda: boruvka_msf(bg, cfg, metrics_out=msf_m).count(),
+        )
+        big["msf_rounds"] = msf_m.get("rounds")
+        scc_m: dict = {}
+        timed_big(
+            "scc_sec", lambda: scc_fn(bg, cfg, metrics_out=scc_m).count()
+        )
+        big["scc_outer_rounds"] = scc_m.get("outer_rounds")
+        col_m: dict = {}
+        timed_big(
+            "coloring_sec",
+            lambda: greedy_coloring(bg, cfg, metrics_out=col_m).count(),
+        )
+        big["coloring_rounds"] = col_m.get("rounds")
+        kc_m: dict = {}
+        timed_big(
+            "kcore_sec",
+            lambda: k_core(bg, k=8, config=cfg, metrics_out=kc_m).count(),
+        )
+        big["kcore_rounds"] = kc_m.get("rounds")
+
+        timed_big(
+            "hyperball_r2_sec",
+            lambda: hyperball(bg, 2, cfg, lg_config_k=10).count(),
+        )
+        try:
+            est = hyperball(bg, 1, cfg, lg_config_k=10)
+            exact = (
+                bg.edges.select("src", "dst")
+                .distinct()
+                .groupBy(F.col("src").alias("vid"))
+                .agg((F.count(F.lit(1)) + 1).alias("nf"))
+            )
+            err_row = (
+                est.join(exact, "vid")
+                .select(
+                    (F.abs(F.col("nf_est") - F.col("nf")) / F.col("nf")).alias(
+                        "e"
+                    )
+                )
+                .agg(F.avg("e").alias("mean_rel_err"))
+                .collect()[0]
+            )
+            mre = float(err_row["mean_rel_err"])
+            big["hyperball_r1_mean_rel_err"] = round(mre, 5)
+            big["hyperball_err_within_bound"] = mre < 0.08
+        except Exception as e:  # noqa: BLE001
+            big["hyperball_r1_mean_rel_err"] = (
+                f"error: {type(e).__name__}: {e}"
+            )
         bg.unpersist()
     except Exception as e:  # noqa: BLE001
         big = {"error": f"{type(e).__name__}: {e}"}

@@ -515,6 +515,70 @@ def _dist_hist_sql() -> str:
     return "\n".join(parts)
 
 
+def _harmonic_sql() -> str:
+    """Truncated harmonic centrality from the same unrolled reachable-
+    pair CTEs as the NF oracle: per-level per-vid counts, then ONE
+    fixed left-to-right double expression Σ (n_k - n_{k-1})/k — the
+    identical association order the Spark kernel uses, so the float
+    sums are bit-for-bit equal."""
+    parts = [
+        f"WITH {_EDGES},",
+        "p0 AS MATERIALIZED (SELECT vid, vid AS t FROM verts)",
+    ]
+    for k in range(1, NF_RADIUS + 1):
+        p = k - 1
+        parts.append(
+            f", p{k} AS MATERIALIZED (SELECT DISTINCT vid, t FROM ("
+            f"SELECT vid, t FROM p{p}"
+            f" UNION ALL"
+            f" SELECT p.vid, e.dst AS t FROM p{p} p JOIN edges e ON p.t = e.src"
+            f"))"
+        )
+    for k in range(NF_RADIUS + 1):
+        parts.append(
+            f", n{k} AS MATERIALIZED (SELECT vid, COUNT(*) AS c"
+            f" FROM p{k} GROUP BY vid)"
+        )
+    expr = " + ".join(
+        f"(COALESCE(n{k}.c, 0) - COALESCE(n{k - 1}.c, 0))"
+        f" / CAST({k} AS DOUBLE)"
+        for k in range(1, NF_RADIUS + 1)
+    )
+    joins = "".join(
+        f" LEFT JOIN n{k} ON v.vid = n{k}.vid"
+        for k in range(NF_RADIUS + 1)
+    )
+    parts.append(
+        f"SELECT v.vid, ROUND({expr}, 6) AS harmonic FROM verts v{joins}"
+    )
+    return "\n".join(parts)
+
+
+def _assortativity_sql() -> str:
+    """Newman degree assortativity from exact-integer sufficient
+    statistics (see kernels/graphstats.degree_assortativity)."""
+    return f"""WITH {_EDGES},
+{_UND},
+sym AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM u
+    UNION ALL SELECT b AS src, a AS dst FROM u),
+ud AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS d FROM sym GROUP BY src),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dx.d) AS DOUBLE) AS sx,
+             CAST(SUM(dy.d) AS DOUBLE) AS sy,
+             CAST(SUM(dx.d * dy.d) AS DOUBLE) AS sxy,
+             CAST(SUM(dx.d * dx.d) AS DOUBLE) AS sxx,
+             CAST(SUM(dy.d * dy.d) AS DOUBLE) AS syy
+      FROM sym e JOIN ud dx ON e.src = dx.vid JOIN ud dy ON e.dst = dy.vid)
+SELECT CAST(n AS BIGINT) AS n_ends,
+       ROUND(CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) = 0
+                  THEN NULL
+                  ELSE (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             END, 6) AS assortativity
+FROM s"""
+
+
 def _eff_diam_sql() -> str:
     """Interpolated 90%-effective-diameter: a prefix-sum + linear
     interpolation on top of the (already-gated) distance histogram.
@@ -1156,6 +1220,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return distance_histogram(g, DIST_RADIUS, _cfg())
 
+    def q_assortativity(spark, sf_dir):
+        from planar_spark.kernels.graphstats import degree_assortativity
+
+        g = _graph(spark, sf_dir)
+        return degree_assortativity(g)
+
+    def q_harmonic_centrality(spark, sf_dir):
+        from planar_spark.kernels.hyperball import harmonic_centrality
+
+        g = _graph(spark, sf_dir)
+        return harmonic_centrality(g, NF_RADIUS, _cfg())
+
     def q_effective_diameter(spark, sf_dir):
         from planar_spark.kernels.hyperball import effective_diameter
 
@@ -1562,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram": q_distance_histogram,
         "effective_diameter": q_effective_diameter,
         "pagerank_warmstart": q_pagerank_warmstart,
+        "assortativity": q_assortativity,
+        "harmonic_centrality": q_harmonic_centrality,
         "edge_sample": q_edge_sample,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
@@ -1685,6 +1763,8 @@ FROM documents d CROSS JOIN pos""",
         "neighborhood_function": _nf_sql(),
         "distance_histogram": _dist_hist_sql(),
         "effective_diameter": _eff_diam_sql(),
+        "assortativity": _assortativity_sql(),
+        "harmonic_centrality": _harmonic_sql(),
         # warm-start = exact step-continuation, so the converged result
         # is the same 5-iteration fixpoint as the cold gate
         "pagerank_warmstart": _pagerank_sql(),

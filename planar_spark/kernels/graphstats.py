@@ -54,6 +54,58 @@ def powerlaw_alpha(graph: GraphTables, dmin: int = 1) -> DataFrame:
     )
 
 
+def degree_assortativity(graph: GraphTables) -> DataFrame:
+    """One row (n_ends, assortativity): Pearson correlation of the
+    undirected degrees at the two ends of every undirected edge, both
+    orientations counted (Newman 2002) — the standard "do hubs link to
+    hubs?" diagnostic (real web graphs are mildly disassortative,
+    r ≈ -0.05..-0.2).
+
+    Numerics are gate-grade deterministic: the five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy², n) are EXACT integer sums (never
+    a streaming corr aggregate, whose merge order varies run to run),
+    converted once to double for the closed-form correlation — bit-
+    identical in any engine that sums the same integers. Products are
+    taken in double so the expression never overflows int64 at web
+    scale. One degree aggregation + one edge join + one global
+    aggregate; partial aggregation everywhere. Degenerate (zero
+    variance) graphs return NULL rather than an engine-specific 0/0."""
+    und = graph.undirected_edges()
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    udeg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("ud")
+    )
+    j = (
+        sym.join(
+            udeg.select(F.col("vid").alias("src"), F.col("ud").alias("x")),
+            "src",
+        ).join(
+            udeg.select(F.col("vid").alias("dst"), F.col("ud").alias("y")),
+            "dst",
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_ends"),
+        F.round(
+            F.when(den != 0.0, num / den).otherwise(F.lit(None)), 6
+        ).alias("assortativity"),
+    )
+
+
 def sample_edges(
     edges: DataFrame, pct: int, salt: str = "e0"
 ) -> DataFrame:

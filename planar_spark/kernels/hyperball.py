@@ -104,6 +104,60 @@ def distance_histogram(
     )
 
 
+def harmonic_centrality(
+    graph: GraphTables, radius: int, config: EngineConfig | None = None
+) -> DataFrame:
+    """(vid, harmonic): truncated harmonic centrality
+    Σ_{t != vid, dist(vid→t) <= radius} 1/dist(vid→t) — Boldi-Vigna's
+    centrality of choice for web graphs, here cut at ``radius`` so it
+    derives from the same exact frontier levels as the neighborhood
+    function (the untruncated value is the radius→∞ limit; HyperBall
+    estimates it from sketches at scale).
+
+    Determinism note: the level contributions n_k/k are DOUBLES, and a
+    groupBy-sum would add them in partition-dependent order. Instead
+    each level's per-vertex NEW-pair count joins the result as its own
+    integer column and one fixed left-to-right expression
+    c1/1 + c2/2 + ... + cR/R does the float math — bit-identical to the
+    SQL oracle's identical expression."""
+    config = config or EngineConfig()
+    base = graph.vertices.select(F.col("vid"), F.col("vid").alias("t"))
+    reach = releaf(base.localCheckpoint(eager=True))
+    frontier = reach
+    edges = graph.edges.select("src", "dst").distinct()
+    level_counts: list[DataFrame] = []
+    for k in range(1, radius + 1):
+        nxt = (
+            frontier.join(edges, frontier["t"] == edges["src"])
+            .select(frontier["vid"], edges["dst"].alias("t"))
+            .distinct()
+            .join(reach, ["vid", "t"], "left_anti")
+        )
+        obs = Observation()
+        nxt = releaf(
+            nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["n"] or 0) == 0:
+            break
+        level_counts.append(
+            nxt.groupBy("vid").agg(F.count(F.lit(1)).alias(f"c{k}"))
+        )
+        reach = releaf(reach.unionAll(nxt).localCheckpoint(eager=True))
+        frontier = nxt
+    out = graph.vertices.select("vid")
+    terms = []
+    for k, lvl in enumerate(level_counts, 1):
+        out = out.join(lvl, "vid", "left")
+        terms.append(F.coalesce(f"c{k}", F.lit(0)) / F.lit(float(k)))
+    if not terms:
+        return out.select("vid", F.lit(0.0).alias("harmonic"))
+    h = terms[0]
+    for t in terms[1:]:
+        h = h + t
+    return out.select("vid", F.round(h, 6).alias("harmonic"))
+
+
 def effective_diameter(
     graph: GraphTables,
     radius: int,

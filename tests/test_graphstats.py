@@ -40,3 +40,40 @@ def test_powerlaw_alpha_matches_python_mle(spark):
     want = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
     assert row["n_tail"] == len(tail)
     assert abs(row["alpha"] - round(want, 6)) < 1e-9
+
+
+def test_assortativity_matches_numpy(spark):
+    import numpy as np
+
+    from planar_spark.kernels.graphstats import degree_assortativity
+    from planar_spark.ingest.pages import edges_powerlaw
+    from tests.conftest import graph_from_numpy
+
+    n = 150
+    edges = edges_powerlaw(n, m=3, seed=17)
+    g = graph_from_numpy(spark, edges, n)
+    row = degree_assortativity(g).collect()[0]
+    # numpy oracle: undirected degrees at both ends of each undirected
+    # edge, both orientations
+    und = {tuple(sorted((int(a), int(b)))) for a, b in edges if a != b}
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in und:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
+    assert row["n_ends"] == 2 * len(und)
+    assert abs(row["assortativity"] - want) < 1e-5
+
+
+def test_assortativity_degenerate_is_null(spark):
+    from planar_spark.kernels.graphstats import degree_assortativity
+    from planar_spark.ingest.pages import edges_ring
+    from tests.conftest import graph_from_numpy
+
+    g = graph_from_numpy(spark, edges_ring(12), 12)  # all degrees 2
+    row = degree_assortativity(g).collect()[0]
+    assert row["assortativity"] is None

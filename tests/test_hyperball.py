@@ -122,3 +122,43 @@ def test_hyperball_within_hll_error(spark, config):
     # HLL at lgK=12 is near-exact at these cardinalities; allow 5%
     for v, exact in want.items():
         assert est[v] == pytest.approx(exact, rel=0.05)
+
+
+def test_harmonic_centrality_ring_and_star(spark, config):
+    from pyspark.sql import functions as F
+
+    from planar_spark.kernels.hyperball import harmonic_centrality
+    from planar_spark.ingest.pages import edges_ring, edges_star_hub
+    from tests.conftest import graph_from_numpy
+
+    # directed ring: every vertex sees exactly one vertex per distance
+    g = graph_from_numpy(spark, edges_ring(10), 10)
+    got = {r["vid"]: r["harmonic"] for r in
+           harmonic_centrality(g, 3, config).collect()}
+    want = round(1.0 / 1 + 1.0 / 2 + 1.0 / 3, 6)
+    assert all(abs(v - want) < 1e-9 for v in got.values())
+
+    # star out-edges 0->i: hub sees n-1 at distance 1, leaves see the
+    # hub at 1 and every other leaf at 2 (star edges are bidirectional
+    # in edges_star_hub? assert from actual edge set instead)
+    n = 6
+    g2 = graph_from_numpy(spark, edges_star_hub(n), n)
+    got2 = {r["vid"]: r["harmonic"] for r in
+            harmonic_centrality(g2, 2, config).collect()}
+    e = {(int(a), int(b)) for a, b in edges_star_hub(n)}
+    import itertools
+
+    def dist(s, t):
+        if (s, t) in e:
+            return 1
+        if any((s, m) in e and (m, t) in e for m in range(n)):
+            return 2
+        return None
+
+    for v in range(n):
+        want_v = sum(
+            1.0 / d
+            for t in range(n)
+            if t != v and (d := dist(v, t)) is not None
+        )
+        assert abs(got2[v] - round(want_v, 6)) < 1e-9, (v, got2[v], want_v)

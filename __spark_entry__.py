@@ -515,6 +515,39 @@ def _dist_hist_sql() -> str:
     return "\n".join(parts)
 
 
+TRUSS_K = 4
+# measured peeling rounds: 4 at sf0.001 AND sf0.01 (survivors
+# 4226→202→60→60); extra unrolled rounds are idempotent at the
+# fixpoint, so unroll measured+2 for margin
+TRUSS_UNROLL = 6
+
+
+def _ktruss_sql(k: int = TRUSS_K, rounds: int = TRUSS_UNROLL) -> str:
+    """Unrolled k-truss peeling: per round, triangle supports over the
+    previous round's edge set (x<y<z 3-join — enumeration order differs
+    from the kernel's degree orientation but the triangle SET is
+    identical), then keep edges with support >= k-2."""
+    parts = [f"WITH {_EDGES},", _UND, ", e0 AS MATERIALIZED (SELECT a, b FROM u)"]
+    for r in range(rounds):
+        parts.append(
+            f", t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            f" FROM e{r} e1 JOIN e{r} e2 ON e1.b = e2.a"
+            f" JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        parts.append(
+            f", s{r} AS MATERIALIZED (SELECT a, b, COUNT(*) AS s FROM ("
+            f"SELECT x AS a, y AS b FROM t{r}"
+            f" UNION ALL SELECT y AS a, z AS b FROM t{r}"
+            f" UNION ALL SELECT x AS a, z AS b FROM t{r}) GROUP BY a, b)"
+        )
+        parts.append(
+            f", e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e"
+            f" JOIN s{r} s ON e.a = s.a AND e.b = s.b WHERE s.s >= {k - 2})"
+        )
+    parts.append(f"SELECT a, b FROM e{rounds}")
+    return "\n".join(parts)
+
+
 def _harmonic_sql() -> str:
     """Truncated harmonic centrality from the same unrolled reachable-
     pair CTEs as the NF oracle: per-level per-vid counts, then ONE
@@ -1220,6 +1253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return distance_histogram(g, DIST_RADIUS, _cfg())
 
+    def q_ktruss(spark, sf_dir):
+        from planar_spark.kernels.truss import k_truss
+
+        g = _graph(spark, sf_dir)
+        return k_truss(g, TRUSS_K, _cfg())
+
     def q_assortativity(spark, sf_dir):
         from planar_spark.kernels.graphstats import degree_assortativity
 
@@ -1640,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warmstart": q_pagerank_warmstart,
         "assortativity": q_assortativity,
         "harmonic_centrality": q_harmonic_centrality,
+        "ktruss": q_ktruss,
         "edge_sample": q_edge_sample,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
@@ -1765,6 +1805,7 @@ FROM documents d CROSS JOIN pos""",
         "effective_diameter": _eff_diam_sql(),
         "assortativity": _assortativity_sql(),
         "harmonic_centrality": _harmonic_sql(),
+        "ktruss": _ktruss_sql(),
         # warm-start = exact step-continuation, so the converged result
         # is the same 5-iteration fixpoint as the cold gate
         "pagerank_warmstart": _pagerank_sql(),

@@ -35,7 +35,7 @@ from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
 KERNELS = (
     "pagerank", "wcc", "lpa", "triangles", "sssp",
     "msf", "coloring", "khop", "randomwalk", "kcore",
-    "scc", "hits", "ppr", "lcc", "bowtie", "stats", "diameter",
+    "scc", "hits", "ppr", "lcc", "bowtie", "stats", "diameter", "ktruss",
 )
 
 
@@ -52,7 +52,9 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--source", type=int, default=0, help="sssp source vid")
-    ap.add_argument("--k", type=int, default=8, help="k for the k-core kernel")
+    ap.add_argument(
+        "--k", type=int, default=8, help="k for the k-core / k-truss kernels"
+    )
     args = ap.parse_args()
     if not (args.pages or args.graph):
         ap.error("one of --pages / --graph is required")
@@ -122,6 +124,12 @@ def main() -> None:
 
         out, meta = strongly_connected_components(
             g, cfg, run_id=args.run_id, resume=args.resume
+        ), None
+    elif args.kernel == "ktruss":
+        from planar_spark.kernels.truss import k_truss
+
+        out, meta = k_truss(
+            g, k=args.k, config=cfg, run_id=args.run_id, resume=args.resume
         ), None
     elif args.kernel == "hits":
         from planar_spark.kernels.hits import hits

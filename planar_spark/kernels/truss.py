@@ -1,0 +1,167 @@
+"""k-truss: edge-cohesion peeling over the undirected simple graph.
+
+Not in the reference's app set; the edge-level companion to k-core
+(kernels/kcore.py) and a standard community/spam-farm hygiene kernel
+for link graphs: the k-truss is the maximal subgraph in which every
+edge participates in at least k-2 triangles WITHIN the subgraph, so it
+keeps only tightly clustered link neighborhoods (a k-truss is always a
+subgraph of the (k-1)-core, but strictly stronger).
+
+Algorithm — synchronous support peeling to a fixpoint:
+
+  round r: 1. enumerate triangles of the CURRENT edge set with the
+              degree-oriented two-join from kernels/triangles.py
+              (orientation bounds wedge work at O(E^1.5) even on
+              power-law graphs — recomputed each round because degrees
+              shrink as edges are deleted);
+           2. per-edge support = triangles containing the edge
+              (3 contribution rows per triangle, partial-agg'd);
+           3. delete every edge with support < k-2; repeat until no
+              edge is deleted. Deterministic (the k-truss is unique).
+
+The per-round survivor count rides the state checkpoint as an
+Observation (no standalone count actions); the loop fails loudly if
+max_rounds is exhausted before the fixpoint, and checkpoints its edge
+set durably through LoopCheckpointer every config.checkpoint_every
+rounds (resume re-enters at the newest completed round).
+
+Scale notes: each round's work is one oriented triangle join over the
+SHRINKING edge set plus one partial-aggregated support count — the
+same shuffle shapes as the gated triangle kernel, repeated a small
+number of rounds (peeling cascades are shallow on web graphs; the
+round count is reported via metrics_out and sized into the oracle
+unroll). A delta-peeling variant (recompute support only near deleted
+edges) would need the O(#triangles) triangle list kept materialized
+across rounds — a memory trade that only pays when triangles fit;
+the recompute form needs O(E) state only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.loopckpt import LoopCheckpointer
+from planar_spark.graph.superstep import releaf
+from planar_spark.graph.tables import GraphTables
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(a, b, s): triangles per undirected edge (a < b) of ``und``.
+
+    Degree-oriented enumeration (see kernels/triangles.py module doc);
+    edges in no triangle are absent from the result."""
+    udeg = (
+        und.select(F.col("a").alias("vid"))
+        .unionAll(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("udeg"))
+    )
+    da = udeg.select(F.col("vid").alias("a"), F.col("udeg").alias("deg_a"))
+    db = udeg.select(F.col("vid").alias("b"), F.col("udeg").alias("deg_b"))
+    e = und.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    tri = e1.join(e2, "y").join(closing, ["x", "z"])
+    contribs = (
+        tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .unionAll(
+            tri.select(
+                F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
+            )
+        )
+    )
+    return contribs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
+
+
+def k_truss(
+    graph: GraphTables,
+    k: int,
+    config: EngineConfig | None = None,
+    max_rounds: int = 100,
+    metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Returns the k-truss edge set (a, b) with a < b, exact and
+    deterministic. ``metrics_out`` receives ``rounds`` and
+    ``survivors_per_round`` (used to size the oracle unroll)."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3 (k-2 >= 1 triangles)")
+    config = config or EngineConfig()
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+
+    rounds = 0
+    survivors: list[int] = []
+    ckpt = LoopCheckpointer(spark, config, "ktruss", run_id=run_id)
+    und = None
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, m = latest
+            und = releaf(
+                tables["edges"].repartition(parts, "a").localCheckpoint(True)
+            )
+            rounds = int(m.get("rounds", _rnd))
+            survivors = list(m.get("survivors_per_round", []))
+            prev_n = survivors[-1] if survivors else None
+    if und is None:
+        obs0 = Observation()
+        und = releaf(
+            graph.undirected_edges()
+            .repartition(parts, "a")
+            .observe(obs0, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        prev_n = int(obs0.get["n"] or 0)
+
+    converged = prev_n == 0
+    for _ in range(rounds, max_rounds):
+        if converged:
+            break
+        supp = _edge_support(und)
+        obs = Observation()
+        kept = releaf(
+            und.join(supp, ["a", "b"], "left")
+            .where(F.coalesce("s", F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_kept = int(obs.get["n"] or 0)
+        rounds += 1
+        survivors.append(n_kept)
+        und = kept
+        if n_kept == prev_n or n_kept == 0:
+            converged = True
+        prev_n = n_kept
+        if ckpt.due(rounds):
+            saved = ckpt.save(
+                rounds,
+                {"edges": und},
+                {"rounds": rounds, "survivors_per_round": survivors},
+            )
+            und = saved["edges"]
+    if not converged:
+        raise RuntimeError(
+            f"k_truss: peeling did not reach a fixpoint in {max_rounds} "
+            "rounds; raise max_rounds"
+        )
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
+        metrics_out["survivors_per_round"] = survivors
+    return und

@@ -153,3 +153,58 @@ def test_releaf_fallback_warns(spark):
     with pytest.warns(RuntimeWarning, match="fast path unavailable"):
         out = releaf(df)
     assert out is df
+
+
+def _py_ktruss(edges, k):
+    """Brute-force reference: synchronous support peeling."""
+    und = {tuple(sorted((int(a), int(b)))) for a, b in edges if a != b}
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept = {
+            (a, b)
+            for a, b in und
+            if len(adj[a] & adj[b]) >= k - 2
+        }
+        if kept == und:
+            return und
+        und = kept
+
+
+def test_ktruss_matches_python_peeling(spark, config):
+    from planar_spark.kernels.truss import k_truss
+    from planar_spark.ingest.pages import edges_powerlaw
+    from tests.conftest import graph_from_numpy
+
+    edges = edges_powerlaw(120, m=4, seed=23)
+    g = graph_from_numpy(spark, edges, 120)
+    for k in (3, 4, 5):
+        got = {(r["a"], r["b"]) for r in k_truss(g, k, config).collect()}
+        assert got == _py_ktruss(edges, k), k
+
+
+def test_ktruss_resume_equals_uninterrupted(spark, tmp_path):
+    from planar_spark.config import EngineConfig
+    from planar_spark.kernels.truss import k_truss
+    from planar_spark.ingest.pages import edges_powerlaw
+    from tests.conftest import graph_from_numpy
+
+    edges = edges_powerlaw(120, m=4, seed=23)
+    g = graph_from_numpy(spark, edges, 120)
+    cfg = EngineConfig(
+        num_partitions=8, tolerance=0.0, checkpoint_dir=str(tmp_path)
+    )
+    # pick a k whose cascade needs >1 round, crash after round 1
+    m_full: dict = {}
+    full = k_truss(g, 4, cfg, metrics_out=m_full)
+    assert m_full["rounds"] > 1
+    with __import__("pytest").raises(RuntimeError):
+        k_truss(g, 4, cfg, max_rounds=1, run_id="kt1")
+    m: dict = {}
+    resumed = k_truss(g, 4, cfg, run_id="kt1", resume=True, metrics_out=m)
+    a = sorted(tuple(r) for r in resumed.collect())
+    b = sorted(tuple(r) for r in full.collect())
+    assert a == b
+    assert m["rounds"] >= m_full["rounds"]

@@ -515,6 +515,45 @@ def _dist_hist_sql() -> str:
     return "\n".join(parts)
 
 
+# measured weighted-path hop depth: 9 rounds at sf0.001, 13 at sf0.01
+# (weighted shortest paths take MORE hops than BFS when a long cheap
+# path beats a short expensive one); extra unrolled Bellman-Ford
+# rounds are idempotent at the fixpoint, so unroll measured+3
+WSSSP_ORACLE_ROUNDS = 16
+
+
+def _wsssp_sql() -> str:
+    """Unrolled Bellman-Ford with the gate's deterministic edge weights
+    w = (src*7 + dst*13) % 10 + 1, source = MIN vid, INF sentinel
+    arithmetic identical to the BFS sssp oracle."""
+    parts = [
+        f"WITH {_EDGES},",
+        "w AS MATERIALIZED (SELECT src, dst,"
+        " (src * 7 + dst * 13) % 10 + 1 AS w FROM edges),",
+        "s0 AS MATERIALIZED (SELECT MIN(vid) AS s FROM verts),",
+        f"d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = (SELECT s FROM s0)"
+        f" THEN 0 ELSE {INF} END AS dist FROM verts)",
+    ]
+    for k in range(1, WSSSP_ORACLE_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f", m{k} AS MATERIALIZED (SELECT e.dst AS vid,"
+            f" MIN(d.dist + e.w) AS nd"
+            f" FROM w e JOIN d{p} d ON e.src = d.vid"
+            f" WHERE d.dist < {INF} GROUP BY e.dst)"
+        )
+        parts.append(
+            f", d{k} AS MATERIALIZED (SELECT d.vid,"
+            f" LEAST(d.dist, COALESCE(m.nd, d.dist)) AS dist"
+            f" FROM d{p} d LEFT JOIN m{k} m ON d.vid = m.vid)"
+        )
+    parts.append(
+        f"SELECT vid, CAST(CASE WHEN dist >= {INF} THEN -1 ELSE dist END"
+        f" AS BIGINT) AS dist FROM d{WSSSP_ORACLE_ROUNDS}"
+    )
+    return "\n".join(parts)
+
+
 TRUSS_K = 4
 # measured peeling rounds: 4 at sf0.001 AND sf0.01 (survivors
 # 4226→202→60→60); extra unrolled rounds are idempotent at the
@@ -1253,6 +1292,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return distance_histogram(g, DIST_RADIUS, _cfg())
 
+    def q_sssp_weighted(spark, sf_dir):
+        from planar_spark.kernels.sssp import weighted_sssp
+
+        g = _graph(spark, sf_dir)
+        source = g.vertices.agg(F.min("vid")).collect()[0][0]
+        w = g.edges.select(
+            "src",
+            "dst",
+            ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w"),
+        )
+        return weighted_sssp(g, int(source), _cfg(), weights=w)
+
     def q_ktruss(spark, sf_dir):
         from planar_spark.kernels.truss import k_truss
 
@@ -1680,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "harmonic_centrality": q_harmonic_centrality,
         "ktruss": q_ktruss,
+        "sssp_weighted": q_sssp_weighted,
         "edge_sample": q_edge_sample,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
@@ -1806,6 +1858,7 @@ FROM documents d CROSS JOIN pos""",
         "assortativity": _assortativity_sql(),
         "harmonic_centrality": _harmonic_sql(),
         "ktruss": _ktruss_sql(),
+        "sssp_weighted": _wsssp_sql(),
         # warm-start = exact step-continuation, so the converged result
         # is the same 5-iteration fixpoint as the cold gate
         "pagerank_warmstart": _pagerank_sql(),

@@ -36,6 +36,7 @@ KERNELS = (
     "pagerank", "wcc", "lpa", "triangles", "sssp",
     "msf", "coloring", "khop", "randomwalk", "kcore",
     "scc", "hits", "ppr", "lcc", "bowtie", "stats", "diameter", "ktruss",
+    "wsssp",
 )
 
 
@@ -52,6 +53,10 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--source", type=int, default=0, help="sssp source vid")
+    ap.add_argument(
+        "--weights",
+        help="parquet (src, dst, w) edge weights for wsssp; hop=1 default",
+    )
     ap.add_argument(
         "--k", type=int, default=8, help="k for the k-core / k-truss kernels"
     )
@@ -196,6 +201,11 @@ def main() -> None:
         from planar_spark.kernels.neighborhood import random_walk
 
         out, meta = random_walk(g, cfg, num_steps=args.iterations or 4), None
+    elif args.kernel == "wsssp":
+        from planar_spark.kernels.sssp import weighted_sssp
+
+        w = spark.read.parquet(args.weights) if args.weights else None
+        out, meta = weighted_sssp(g, args.source, cfg, weights=w), None
     else:  # sssp
         r = bfs_sssp(g, args.source, cfg, engine=engine("sssp"),
                      resume=args.resume)

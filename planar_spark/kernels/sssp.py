@@ -151,6 +151,109 @@ def bfs_sssp(
     )
 
 
+def weighted_sssp(
+    graph: GraphTables,
+    source: int,
+    config: EngineConfig | None = None,
+    weights: DataFrame | None = None,
+    max_rounds: int = 300,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """(vid, dist) for ALL vertices: minimum total EDGE WEIGHT from
+    ``source``; unreached = -1. The true weighted companion to
+    bfs_sssp (which relaxes +1 per hop, core/apps/sssp_app.cpp:12-24 —
+    the reference has no weighted variant; crawl frontier scheduling
+    and link-distance analyses want one).
+
+    ``weights``: (src, dst, w) with non-negative weights, defaulting to
+    hop weight 1 (== BFS levels). Algorithm is frontier Bellmann-Ford:
+    round r relaxes only the out-edges of vertices whose distance
+    IMPROVED in round r-1 (the same active-set discipline as the
+    reference's WriteMin frontier), so per-round shuffle volume is
+    O(edges incident to the improved set), never O(E) after the first
+    relax. Each round is ONE materialization job with the improved
+    count observed on it; terminates at the exact fixpoint (round count
+    bounded by the weighted-path hop diameter), failing loudly if
+    ``max_rounds`` is exhausted. With non-negative weights this always
+    converges; round counts ride ``metrics_out``."""
+    config = config or EngineConfig()
+    from pyspark.sql import Observation
+
+    from planar_spark.graph.superstep import releaf
+
+    parts = config.partitions_for(graph.spark)
+    ew = (
+        weights
+        if weights is not None
+        else graph.edges.select("src", "dst", F.lit(1).alias("w"))
+    )
+    ew = ew.repartition(parts, "src").persist()
+    state = releaf(
+        graph.vertices.select(
+            "vid",
+            F.when(F.col("vid") == source, F.lit(0))
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("dist"),
+        ).localCheckpoint(eager=True)
+    )
+    frontier = state.where(F.col("dist").isNotNull())
+    rounds = 0
+    improved_per_round: list[int] = []
+    converged = False
+    for _ in range(max_rounds):
+        relax = (
+            ew.join(
+                maybe_broadcast(
+                    frontier.select(
+                        F.col("vid").alias("src"), F.col("dist").alias("ds")
+                    ),
+                    config,
+                    improved_per_round[-1] if improved_per_round else 1,
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min(F.col("ds") + F.col("w")).alias("cand"))
+        )
+        improved = F.col("cand").isNotNull() & (
+            F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+        )
+        obs = Observation()
+        new_state = releaf(
+            state.join(relax, "vid", "left")
+            .select(
+                "vid",
+                F.when(improved, F.col("cand"))
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+                improved.cast("long").alias("_imp"),
+            )
+            .observe(obs, F.sum("_imp").alias("n_improved"))
+            .localCheckpoint(eager=True)
+        )
+        n_imp = int(obs.get["n_improved"] or 0)
+        frontier = new_state.where(F.col("_imp") == 1).select("vid", "dist")
+        state = new_state.drop("_imp")
+        if n_imp == 0:
+            converged = True
+            break
+        rounds += 1
+        improved_per_round.append(n_imp)
+    ew.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"weighted_sssp: no fixpoint in {max_rounds} rounds; "
+            "raise max_rounds (negative weights? deep weighted paths?)"
+        )
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
+        metrics_out["improved_per_round"] = improved_per_round
+    return state.select(
+        "vid", F.coalesce("dist", F.lit(-1)).alias("dist")
+    )
+
+
 def sssp_with_unreached(
     graph: GraphTables, result_state: DataFrame
 ) -> DataFrame:

@@ -48,3 +48,68 @@ def test_sssp_steps_equal_eccentricity_plus_one(spark, config):
     g = graph_from_numpy(spark, edges_dangling_chain(n), n)
     result = bfs_sssp(g, 0, config)
     assert result.steps_run == n  # dist reaches n-1, then one empty round
+
+
+def test_weighted_sssp_matches_dijkstra(spark, config):
+    import heapq
+
+    from pyspark.sql import functions as F
+
+    from planar_spark.kernels.sssp import weighted_sssp
+    from planar_spark.ingest.pages import edges_powerlaw
+    from tests.conftest import graph_from_numpy
+
+    n = 200
+    edges = edges_powerlaw(n, m=3, seed=31)
+    g = graph_from_numpy(spark, edges, n)
+    wmap = {
+        (int(a), int(b)): (int(a) * 7 + int(b) * 13) % 10 + 1
+        for a, b in edges
+        if a != b
+    }
+    w = g.edges.select(
+        "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w")
+    )
+    src = n - 1  # newest BA vertex: guaranteed out-edges
+    got = {
+        r["vid"]: r["dist"]
+        for r in weighted_sssp(g, src, config, weights=w).collect()
+    }
+    # Dijkstra reference
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for (a, b), ww in wmap.items():
+        adj.setdefault(a, []).append((b, ww))
+    dist = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, ww in adj.get(u, []):
+            nd = d + ww
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    for v in range(n):
+        assert got[v] == dist.get(v, -1), v
+    # weighted must differ from hop-BFS somewhere on this graph
+    bfs = {
+        r["vid"]: r["dist"]
+        for r in weighted_sssp(g, src, config).collect()  # default w=1
+    }
+    assert any(
+        bfs[v] != got[v] for v in range(n) if got[v] >= 0
+    )
+
+
+def test_weighted_sssp_default_weights_are_bfs_levels(spark, config):
+    from planar_spark.kernels.sssp import weighted_sssp
+    from planar_spark.ingest.pages import edges_ring
+    from tests.conftest import graph_from_numpy
+
+    g = graph_from_numpy(spark, edges_ring(8), 8)
+    got = {
+        r["vid"]: r["dist"]
+        for r in weighted_sssp(g, 0, config).collect()
+    }
+    assert got == {v: v for v in range(8)}

@@ -626,6 +626,33 @@ def _harmonic_sql() -> str:
     return "\n".join(parts)
 
 
+def _closeness_sql() -> str:
+    """Truncated closeness from the same per-level count CTEs: reached
+    and total-distance are exact integers, one double division at the
+    end (see kernels/hyperball.closeness_centrality)."""
+    head = _harmonic_sql().rsplit("SELECT v.vid, ROUND", 1)[0]
+    reached = " + ".join(
+        f"(COALESCE(n{k}.c, 0) - COALESCE(n{k - 1}.c, 0))"
+        for k in range(1, NF_RADIUS + 1)
+    )
+    total = " + ".join(
+        f"{k} * (COALESCE(n{k}.c, 0) - COALESCE(n{k - 1}.c, 0))"
+        for k in range(1, NF_RADIUS + 1)
+    )
+    joins = "".join(
+        f" LEFT JOIN n{k} ON v.vid = n{k}.vid"
+        for k in range(NF_RADIUS + 1)
+    )
+    return (
+        head
+        + f"SELECT v.vid, CAST(1 + {reached} AS BIGINT) AS reached,\n"
+        + f"ROUND(CASE WHEN ({total}) > 0 THEN"
+        + f" CAST({reached} AS DOUBLE) / ({total})"
+        + " ELSE 0.0 END, 6) AS closeness\n"
+        + f"FROM verts v{joins}"
+    )
+
+
 def _assortativity_sql() -> str:
     """Newman degree assortativity from exact-integer sufficient
     statistics (see kernels/graphstats.degree_assortativity)."""
@@ -1322,6 +1349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return harmonic_centrality(g, NF_RADIUS, _cfg())
 
+    def q_closeness_centrality(spark, sf_dir):
+        from planar_spark.kernels.hyperball import closeness_centrality
+
+        g = _graph(spark, sf_dir)
+        return closeness_centrality(g, NF_RADIUS, _cfg())
+
     def q_effective_diameter(spark, sf_dir):
         from planar_spark.kernels.hyperball import effective_diameter
 
@@ -1730,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warmstart": q_pagerank_warmstart,
         "assortativity": q_assortativity,
         "harmonic_centrality": q_harmonic_centrality,
+        "closeness_centrality": q_closeness_centrality,
         "ktruss": q_ktruss,
         "sssp_weighted": q_sssp_weighted,
         "edge_sample": q_edge_sample,
@@ -1857,6 +1891,7 @@ FROM documents d CROSS JOIN pos""",
         "effective_diameter": _eff_diam_sql(),
         "assortativity": _assortativity_sql(),
         "harmonic_centrality": _harmonic_sql(),
+        "closeness_centrality": _closeness_sql(),
         "ktruss": _ktruss_sql(),
         "sssp_weighted": _wsssp_sql(),
         # warm-start = exact step-continuation, so the converged result

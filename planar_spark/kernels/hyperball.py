@@ -158,6 +158,61 @@ def harmonic_centrality(
     return out.select("vid", F.round(h, 6).alias("harmonic"))
 
 
+def closeness_centrality(
+    graph: GraphTables, radius: int, config: EngineConfig | None = None
+) -> DataFrame:
+    """(vid, reached, closeness): truncated closeness
+    (reached-1) / Σ dist(vid→t) over t reached within ``radius``
+    (Wasserman-Faust numerator restricted to the reached set; 0.0 when
+    nothing but the vertex itself is reached). Unlike harmonic
+    centrality the sufficient statistics here are PURE INTEGERS
+    (reached count and total distance), so cross-engine determinism is
+    free — the one double division happens after exact integer math."""
+    config = config or EngineConfig()
+    base = graph.vertices.select(F.col("vid"), F.col("vid").alias("t"))
+    reach = releaf(base.localCheckpoint(eager=True))
+    frontier = reach
+    edges = graph.edges.select("src", "dst").distinct()
+    level_counts: list[DataFrame] = []
+    for k in range(1, radius + 1):
+        nxt = (
+            frontier.join(edges, frontier["t"] == edges["src"])
+            .select(frontier["vid"], edges["dst"].alias("t"))
+            .distinct()
+            .join(reach, ["vid", "t"], "left_anti")
+        )
+        obs = Observation()
+        nxt = releaf(
+            nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["n"] or 0) == 0:
+            break
+        level_counts.append(
+            nxt.groupBy("vid").agg(F.count(F.lit(1)).alias(f"c{k}"))
+        )
+        reach = releaf(reach.unionAll(nxt).localCheckpoint(eager=True))
+        frontier = nxt
+    out = graph.vertices.select("vid")
+    reached = F.lit(1)
+    total = F.lit(0)
+    for k, lvl in enumerate(level_counts, 1):
+        out = out.join(lvl, "vid", "left")
+        c = F.coalesce(f"c{k}", F.lit(0))
+        reached = reached + c
+        total = total + F.lit(k) * c
+    return out.select(
+        "vid",
+        reached.cast("long").alias("reached"),
+        F.round(
+            F.when(
+                total > 0, (reached - 1).cast("double") / total
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("closeness"),
+    )
+
+
 def effective_diameter(
     graph: GraphTables,
     radius: int,

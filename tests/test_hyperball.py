@@ -162,3 +162,24 @@ def test_harmonic_centrality_ring_and_star(spark, config):
             if t != v and (d := dist(v, t)) is not None
         )
         assert abs(got2[v] - round(want_v, 6)) < 1e-9, (v, got2[v], want_v)
+
+
+def test_closeness_centrality_ring(spark, config):
+    from planar_spark.kernels.hyperball import closeness_centrality
+    from planar_spark.ingest.pages import edges_ring
+    from tests.conftest import graph_from_numpy
+
+    g = graph_from_numpy(spark, edges_ring(10), 10)
+    got = {r["vid"]: (r["reached"], r["closeness"]) for r in
+           closeness_centrality(g, 3, config).collect()}
+    # every ring vertex reaches 3 others at distances 1+2+3=6
+    assert all(v == (4, round(3 / 6, 6)) for v in got.values())
+
+    # isolated vertices: reached=1, closeness 0.0 (guarded division)
+    import numpy as np
+
+    g2 = graph_from_numpy(spark, np.array([(0, 1)]), 4)
+    got2 = {r["vid"]: (r["reached"], r["closeness"]) for r in
+            closeness_centrality(g2, 3, config).collect()}
+    assert got2[2] == (1, 0.0) and got2[3] == (1, 0.0)
+    assert got2[0] == (2, 1.0)  # reaches 1 vertex at distance 1

@@ -162,8 +162,9 @@ def main() -> None:
         out, meta = bowtie_regions(g, cfg), None
     elif args.kernel == "stats":
         # one-pass graph profile: degree histogram + reciprocity +
-        # power-law alpha, unioned as (stat, key, value) rows
+        # power-law alpha + assortativity, unioned as (stat, key, value)
         from planar_spark.kernels.graphstats import (
+            degree_assortativity,
             degree_histogram,
             powerlaw_alpha,
             reciprocity,
@@ -184,7 +185,12 @@ def main() -> None:
             F.lit("alpha").alias("key"),
             F.col("alpha").cast("double").alias("value"),
         )
-        out, meta = h.unionByName(r).unionByName(a), None
+        s = degree_assortativity(g).select(
+            F.lit("assortativity").alias("stat"),
+            F.lit("pearson_r").alias("key"),
+            F.col("assortativity").cast("double").alias("value"),
+        )
+        out, meta = h.unionByName(r).unionByName(a).unionByName(s), None
     elif args.kernel == "diameter":
         # interpolated 90% effective diameter; --iterations caps the
         # BFS radius of the underlying exact distance histogram

@@ -700,7 +700,15 @@ def near_dup_clusters(
 
     from planar_spark.graph.superstep import releaf
 
-    pairs = lsh_candidate_pairs(docs, n, num_hashes, bands)
+    # materialize the candidate pairs ONCE: ngram_jaccard references the
+    # pairs plan twice (intersection join + final left join), and the
+    # LSH subtree (signatures + band join + bucket-cap count join) is
+    # too expensive to re-execute per reference
+    pairs = releaf(
+        lsh_candidate_pairs(docs, n, num_hashes, bands).localCheckpoint(
+            eager=True
+        )
+    )
     sims = ngram_jaccard(docs, pairs, n)
     # materialize the (tiny) pair-graph edge list once so the label loop
     # references a leaf, not the whole LSH/Jaccard tree

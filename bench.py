@@ -223,6 +223,29 @@ def main() -> None:
     old_labels.unpersist()
     g_old.unpersist()
 
+    # round-4 kernels on the headline graph, one run each
+    from planar_spark.kernels.hyperball import effective_diameter
+    from planar_spark.kernels.sssp import weighted_sssp
+    from planar_spark.kernels.truss import k_truss
+
+    timed_extra("ktruss", lambda: k_truss(g, k=4, config=cfg).count())
+    src_min = int(g.vertices.agg(F.min("vid")).collect()[0][0])
+    wdf = g.edges.select(
+        "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w")
+    )
+    timed_extra(
+        "sssp_weighted",
+        lambda: weighted_sssp(g, src_min, cfg, weights=wdf).count(),
+    )
+    # radius 2: the exact pair sets behind the histogram grow ~9x per
+    # hop on this graph (avg out-degree ~9); r=2 keeps the extra at
+    # ~5M pairs. Deeper radii at scale are HyperBall's job, not the
+    # exact mode's.
+    timed_extra(
+        "effective_diameter_r2",
+        lambda: effective_diameter(g, 2, q=0.9, config=cfg).count(),
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed_extra("minhash_lsh_pairs", lambda: lsh_candidate_pairs(docs).count())

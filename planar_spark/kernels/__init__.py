@@ -6,13 +6,44 @@ from planar_spark.kernels.triangles import local_clustering
 from planar_spark.kernels.wpagerank import weighted_pagerank
 from planar_spark.kernels.lpa import label_propagation
 from planar_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
-from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached
+from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached, weighted_sssp
 from planar_spark.kernels.mst import boruvka_msf
 from planar_spark.kernels.coloring import greedy_coloring
 from planar_spark.kernels.gnn import gnn_forward
 from planar_spark.kernels.hits import hits
+from planar_spark.kernels.kcore import k_core
+from planar_spark.kernels.truss import k_truss
+from planar_spark.kernels.graphstats import (
+    degree_assortativity,
+    degree_histogram,
+    powerlaw_alpha,
+    reciprocity,
+    sample_edges,
+)
+from planar_spark.kernels.hyperball import (
+    closeness_centrality,
+    distance_histogram,
+    effective_diameter,
+    harmonic_centrality,
+    hyperball,
+    neighborhood_function_exact,
+)
 
 __all__ = [
+    "k_core",
+    "k_truss",
+    "weighted_sssp",
+    "degree_assortativity",
+    "degree_histogram",
+    "powerlaw_alpha",
+    "reciprocity",
+    "sample_edges",
+    "closeness_centrality",
+    "distance_histogram",
+    "effective_diameter",
+    "harmonic_centrality",
+    "hyperball",
+    "neighborhood_function_exact",
     "hits",
     "incremental_wcc",
     "personalized_pagerank",

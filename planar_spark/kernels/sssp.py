@@ -158,6 +158,8 @@ def weighted_sssp(
     weights: DataFrame | None = None,
     max_rounds: int = 300,
     metrics_out: dict | None = None,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(vid, dist) for ALL vertices: minimum total EDGE WEIGHT from
     ``source``; unreached = -1. The true weighted companion to
@@ -166,42 +168,74 @@ def weighted_sssp(
     and link-distance analyses want one).
 
     ``weights``: (src, dst, w) with non-negative weights, defaulting to
-    hop weight 1 (== BFS levels). Algorithm is frontier Bellmann-Ford:
-    round r relaxes only the out-edges of vertices whose distance
-    IMPROVED in round r-1 (the same active-set discipline as the
-    reference's WriteMin frontier), so per-round shuffle volume is
-    O(edges incident to the improved set), never O(E) after the first
-    relax. Each round is ONE materialization job with the improved
-    count observed on it; terminates at the exact fixpoint (round count
-    bounded by the weighted-path hop diameter), failing loudly if
-    ``max_rounds`` is exhausted. With non-negative weights this always
-    converges; round counts ride ``metrics_out``."""
+    hop weight 1 (== BFS levels). Algorithm is frontier Bellman-Ford on
+    the SuperstepEngine, structured exactly like bfs_sssp:
+
+    - cache-mode state (vid, dist, _imp): InMemoryRelation preserves
+      the vid hash-partitioning, so the O(V) state streams into each
+      round's merge join un-exchanged;
+    - the improved set (the Bellman-Ford frontier) is cut as a SEPARATE
+      tiny localCheckpointed LEAF in post() with its size observed on
+      the cut job — deriving it from the state inside step_fn would
+      make each round's plan reference the previous state twice and
+      double the logical tree per round (exponential analyzer cost;
+      measured: minutes per run vs seconds — see bfs_sssp's module
+      note);
+    - round r relaxes only edges out of round r-1's improved set, so
+      per-round shuffle volume is O(improved-set edges) after the
+      first relax; the frontier broadcasts when small.
+
+    Riding the engine also buys the durable per-superstep checkpoint /
+    ``resume`` path for free (a resumed run uses the reached set as its
+    first frontier — a superset of the true frontier, which is always
+    correct for Bellman-Ford, then re-tightens). Terminates at the
+    exact fixpoint; raises if ``max_rounds`` is exhausted first."""
+    import dataclasses
+
     config = config or EngineConfig()
-    from pyspark.sql import Observation
-
-    from planar_spark.graph.superstep import releaf
-
-    parts = config.partitions_for(graph.spark)
+    config = dataclasses.replace(config, state_persist="cache")
+    if engine is not None:
+        engine.config = dataclasses.replace(
+            engine.config, state_persist="cache"
+        )
+    spark = graph.spark
+    parts = config.partitions_for(spark)
     ew = (
         weights
         if weights is not None
         else graph.edges.select("src", "dst", F.lit(1).alias("w"))
     )
     ew = ew.repartition(parts, "src").persist()
-    state = releaf(
-        graph.vertices.select(
+
+    def init_state() -> DataFrame:
+        return graph.vertices.select(
             "vid",
-            F.when(F.col("vid") == source, F.lit(0))
-            .otherwise(F.lit(None))
+            F.when(F.col("vid") == int(source), F.lit(0))
+            .otherwise(F.lit(INF))
             .cast("long")
             .alias("dist"),
-        ).localCheckpoint(eager=True)
+            (F.col("vid") == int(source)).cast("long").alias("_imp"),
+        ).repartition(parts, "vid")
+
+    carry: dict = {"frontier": None, "size": 1}
+
+    engine = engine or SuperstepEngine(
+        spark, config, "weighted_sssp",
+        lineage={"source": int(source), "num_edges": graph.num_edges},
     )
-    frontier = state.where(F.col("dist").isNotNull())
-    rounds = 0
-    improved_per_round: list[int] = []
-    converged = False
-    for _ in range(max_rounds):
+    if resume:
+        latest = engine.latest_checkpoint()
+        if latest is not None:
+            carry["size"] = latest[2].get("improved")
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
+        frontier = carry["frontier"]
+        if frontier is None:  # first step of a fresh or resumed run
+            frontier = (
+                state.where(F.col("dist") < INF)
+                .select("vid", "dist")
+                .localCheckpoint(eager=True)
+            )
         relax = (
             ew.join(
                 maybe_broadcast(
@@ -209,48 +243,60 @@ def weighted_sssp(
                         F.col("vid").alias("src"), F.col("dist").alias("ds")
                     ),
                     config,
-                    improved_per_round[-1] if improved_per_round else 1,
+                    carry["size"],
                 ),
                 "src",
             )
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min(F.col("ds") + F.col("w")).alias("cand"))
         )
-        improved = F.col("cand").isNotNull() & (
-            F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+        improved = F.col("cand").isNotNull() & (F.col("cand") < F.col("dist"))
+        new = state.select("vid", "dist").join(relax, "vid", "left").select(
+            "vid",
+            F.when(improved, F.col("cand")).otherwise(F.col("dist")).alias(
+                "dist"
+            ),
+            improved.cast("long").alias("_imp"),
         )
+        return new, {}
+
+    def post(old: DataFrame, new: DataFrame, k: int) -> dict:
+        from pyspark.sql import Observation
+
         obs = Observation()
-        new_state = releaf(
-            state.join(relax, "vid", "left")
-            .select(
-                "vid",
-                F.when(improved, F.col("cand"))
-                .otherwise(F.col("dist"))
-                .alias("dist"),
-                improved.cast("long").alias("_imp"),
-            )
-            .observe(obs, F.sum("_imp").alias("n_improved"))
+        frontier = (
+            new.where(F.col("_imp") == 1)
+            .select("vid", "dist")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_imp = int(obs.get["n_improved"] or 0)
-        frontier = new_state.where(F.col("_imp") == 1).select("vid", "dist")
-        state = new_state.drop("_imp")
-        if n_imp == 0:
-            converged = True
-            break
-        rounds += 1
-        improved_per_round.append(n_imp)
+        n = int(obs.get["n"])
+        carry["frontier"] = frontier
+        carry["size"] = n
+        return {"improved": n}
+
+    def converged(metrics: dict) -> bool:
+        return metrics.get("improved", -1) == 0
+
+    result = engine.run(
+        init_state, step, max_rounds, converged, post_fn=post, resume=resume
+    )
     ew.unpersist()
-    if not converged:
+    if not result.converged:
         raise RuntimeError(
             f"weighted_sssp: no fixpoint in {max_rounds} rounds; "
             "raise max_rounds (negative weights? deep weighted paths?)"
         )
     if metrics_out is not None:
-        metrics_out["rounds"] = rounds
-        metrics_out["improved_per_round"] = improved_per_round
-    return state.select(
-        "vid", F.coalesce("dist", F.lit(-1)).alias("dist")
+        metrics_out["rounds"] = result.steps_run
+        metrics_out["improved_per_round"] = [
+            m["improved"] for m in result.metrics if "improved" in m
+        ]
+    return result.state.select(
+        "vid",
+        F.when(F.col("dist") >= INF, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .alias("dist"),
     )
 
 

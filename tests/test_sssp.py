@@ -113,3 +113,41 @@ def test_weighted_sssp_default_weights_are_bfs_levels(spark, config):
         for r in weighted_sssp(g, 0, config).collect()
     }
     assert got == {v: v for v in range(8)}
+
+
+def test_weighted_sssp_resume_equals_uninterrupted(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from planar_spark.graph.superstep import SuperstepEngine
+    from planar_spark.kernels.sssp import weighted_sssp
+    from planar_spark.ingest.pages import edges_powerlaw
+    from tests.conftest import graph_from_numpy
+
+    from planar_spark.config import EngineConfig
+
+    n = 200
+    edges = edges_powerlaw(n, m=3, seed=31)
+    g = graph_from_numpy(spark, edges, n)
+    cfg = EngineConfig(
+        num_partitions=8, tolerance=0.0, checkpoint_dir=str(tmp_path)
+    )
+    w = g.edges.select(
+        "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w")
+    )
+    src = n - 1
+    # the crash: 2 supersteps then die (RuntimeError from exhausted rounds)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        weighted_sssp(
+            g, src, cfg, weights=w, max_rounds=2,
+            engine=SuperstepEngine(spark, cfg, "weighted_sssp", run_id="ws1"),
+        )
+    resumed = weighted_sssp(
+        g, src, cfg, weights=w, resume=True,
+        engine=SuperstepEngine(spark, cfg, "weighted_sssp", run_id="ws1"),
+    )
+    full = weighted_sssp(g, src, cfg, weights=w)
+    a = sorted(tuple(r) for r in resumed.collect())
+    b = sorted(tuple(r) for r in full.collect())
+    assert a == b

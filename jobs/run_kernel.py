@@ -211,7 +211,10 @@ def main() -> None:
         from planar_spark.kernels.sssp import weighted_sssp
 
         w = spark.read.parquet(args.weights) if args.weights else None
-        out, meta = weighted_sssp(g, args.source, cfg, weights=w), None
+        out, meta = weighted_sssp(
+            g, args.source, cfg, weights=w,
+            engine=engine("weighted_sssp"), resume=args.resume,
+        ), None
     else:  # sssp
         r = bfs_sssp(g, args.source, cfg, engine=engine("sssp"),
                      resume=args.resume)

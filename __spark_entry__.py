@@ -44,6 +44,7 @@ from planar_spark.kernels.neighborhood import (
     WALK_H_A,
     WALK_H_B,
     WALK_H_C,
+    WALK_H_D,
     WALK_H_MOD,
     khop_risk,
     one_hop_min,
@@ -1076,6 +1077,53 @@ def _random_walk_sql() -> str:
     return "\n".join(parts)
 
 
+def _node2vec_sql(w_return: int = 1, w_common: int = 2, w_far: int = 1) -> str:
+    """Unrolled deterministic node2vec walk: per step, candidate
+    transition weights (return / distance-1 / far vs the PREVIOUS
+    vertex), integer-replicated candidates, and the same mixing-hash
+    argmin as the Spark kernel (ORDER BY h, dst, rep == the struct-min
+    field order)."""
+    parts = [
+        f"WITH {_EDGES},",
+        "u2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,"
+        " GREATEST(src, dst) AS b FROM edges),",
+        "adj AS MATERIALIZED (SELECT a AS p, b AS d FROM u2"
+        " UNION ALL SELECT b AS p, a AS d FROM u2),",
+        "w0 AS MATERIALIZED (SELECT vid AS start, vid AS prev, vid AS cur"
+        " FROM verts WHERE vid % 31 = 0)",
+    ]
+    for k in range(1, WALK_STEPS + 1):
+        p = k - 1
+        parts.append(
+            f", c{k} AS MATERIALIZED (SELECT w.start, w.prev, w.cur, e.dst,"
+            f" CASE WHEN e.dst IS NULL THEN 1"
+            f" WHEN e.dst = w.prev THEN {w_return}"
+            f" WHEN EXISTS (SELECT 1 FROM adj"
+            f" WHERE adj.p = w.prev AND adj.d = e.dst) THEN {w_common}"
+            f" ELSE {w_far} END AS wt"
+            f" FROM w{p} w LEFT JOIN edges e ON w.cur = e.src)"
+        )
+        parts.append(
+            f", r{k} AS MATERIALIZED (SELECT start, prev, cur, dst,"
+            f" CAST(u.rep AS BIGINT) AS rep"
+            f" FROM c{k}, UNNEST(generate_series(0, wt - 1)) AS u(rep))"
+        )
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT start, prev, cur, dst,"
+            f" ROW_NUMBER() OVER (PARTITION BY start ORDER BY"
+            f" ((cur * {WALK_H_A} + COALESCE(dst, 0) * {WALK_H_B}"
+            f" + {k} * {WALK_H_C} + rep * {WALK_H_D}) % {WALK_H_MOD}) ASC,"
+            f" dst ASC, rep ASC) AS rn FROM r{k})"
+        )
+        parts.append(
+            f", w{k} AS MATERIALIZED (SELECT start,"
+            f" CASE WHEN dst IS NULL THEN prev ELSE cur END AS prev,"
+            f" COALESCE(dst, cur) AS cur FROM s{k} WHERE rn = 1)"
+        )
+    parts.append(f"SELECT start, cur FROM w{WALK_STEPS}")
+    return "\n".join(parts)
+
+
 # MinHash/LSH oracle prelude: word 3-gram shingles (short docs -> whole
 # token string), 8 salted-md5 min-hashes, 4 bands x 2 rows — mirrors
 # planar_spark/kernels/textops.py exactly.
@@ -1483,6 +1531,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_random_walk(spark, sf_dir):
         return random_walk(_graph(spark, sf_dir), _cfg(), num_steps=WALK_STEPS)
 
+    def q_node2vec_walk(spark, sf_dir):
+        from planar_spark.kernels.neighborhood import node2vec_walk
+
+        return node2vec_walk(
+            _graph(spark, sf_dir), _cfg(), num_steps=WALK_STEPS
+        )
+
     def q_dict_encode(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         urls = docs.select(
@@ -1780,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "khop_risk": q_khop_risk,
         "random_walk": q_random_walk,
+        "node2vec_walk": q_node2vec_walk,
         "kcore": q_kcore,
         "dict_encode": q_dict_encode,
         "dedup_exact": q_dedup_exact,
@@ -1980,6 +2036,7 @@ SELECT b.vid, CAST(CASE WHEN b.seed = 1
         THEN 1 ELSE 0 END AS BIGINT) AS risky
 FROM b LEFT JOIN nr ON b.vid = nr.vid""",
         "random_walk": _random_walk_sql(),
+        "node2vec_walk": _node2vec_sql(),
         "dict_encode": """WITH urls AS (
   SELECT DISTINCT 'https://' || source || '.example/doc/'
          || CAST(doc_id AS VARCHAR) AS url FROM documents

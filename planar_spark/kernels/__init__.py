@@ -11,6 +11,7 @@ from planar_spark.kernels.mst import boruvka_msf
 from planar_spark.kernels.coloring import greedy_coloring
 from planar_spark.kernels.gnn import gnn_forward
 from planar_spark.kernels.hits import hits
+from planar_spark.kernels.neighborhood import node2vec_walk, random_walk
 from planar_spark.kernels.kcore import k_core
 from planar_spark.kernels.truss import k_truss
 from planar_spark.kernels.graphstats import (
@@ -30,6 +31,8 @@ from planar_spark.kernels.hyperball import (
 )
 
 __all__ = [
+    "node2vec_walk",
+    "random_walk",
     "k_core",
     "k_truss",
     "weighted_sssp",

@@ -30,6 +30,7 @@ from planar_spark.graph.tables import GraphTables
 # explicit mixing hash for deterministic walks — identical formula in the
 # DuckDB oracle (all terms < 2^40 for vid spaces < ~2^20, no overflow)
 WALK_H_A, WALK_H_B, WALK_H_C, WALK_H_MOD = 131071, 8191, 524287, 1000003
+WALK_H_D = 97003  # replica-index term for the biased (node2vec) walk
 
 
 def one_hop_min(graph: GraphTables) -> DataFrame:
@@ -137,3 +138,87 @@ def random_walk(
             .select("start", F.coalesce("m.dst", F.col("m.cur")).alias("cur"))
         )
     return walks
+
+
+def node2vec_walk(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    num_steps: int = 4,
+    start_mod: int = 31,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_far: int = 1,
+) -> DataFrame:
+    """(start, cur): end vertex of a deterministic SECOND-ORDER biased
+    walk (node2vec, Grover-Leskovec) — the standard corpus generator
+    for graph-embedding training data. Transition weight from (prev,
+    cur) to candidate dst: ``w_return`` if dst == prev (the 1/p return
+    term), ``w_common`` if dst is und-adjacent to prev (distance-1
+    term), else ``w_far`` (the 1/q term); the defaults encode
+    p = q = 2 scaled to integers.
+
+    Deterministic weighted sampling WITHOUT floats: each candidate is
+    replicated ``weight`` times (weights are small integers, so the
+    explode is bounded by max-weight x out-degree) and the walker takes
+    the replica minimizing the mixing hash — a candidate with w
+    replicas wins with probability ~w/Σw, and the choice is exactly
+    reproducible in SQL (same hash, same tie-break). The per-step
+    argmin is a struct-min aggregate, never a window, so hub-resident
+    walkers keep partial aggregation. The first step degenerates to
+    the uniform walk (prev = start makes every out-neighbor
+    distance-1), matching node2vec's uniform start convention.
+    """
+    config = config or EngineConfig()
+    edges = graph.edges
+    sym = graph.symmetric_edges().select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"),
+        F.lit(1).alias("_adj"),
+    )
+    walks = graph.vertices.where(F.col("vid") % start_mod == 0).select(
+        F.col("vid").alias("start"),
+        F.col("vid").alias("prev"),
+        F.col("vid").alias("cur"),
+    )
+    for k in range(1, num_steps + 1):
+        cand = (
+            walks.join(edges, walks["cur"] == edges["src"], "left")
+            .join(sym, ["prev", "dst"], "left")
+        )
+        wt = (
+            F.when(F.col("dst").isNull(), F.lit(1))
+            .when(F.col("dst") == F.col("prev"), F.lit(w_return))
+            .when(F.col("_adj").isNotNull(), F.lit(w_common))
+            .otherwise(F.lit(w_far))
+        )
+        rep = F.explode(
+            F.sequence(F.lit(0), (wt - 1).cast("int"))
+        ).alias("rep")
+        r = cand.select("start", "prev", "cur", "dst", rep)
+        h = (
+            F.col("cur") * WALK_H_A
+            + F.coalesce(F.col("dst"), F.lit(0)) * WALK_H_B
+            + F.lit(k) * WALK_H_C
+            + F.col("rep") * WALK_H_D
+        ) % WALK_H_MOD
+        walks = (
+            r.groupBy("start")
+            .agg(
+                F.min(
+                    F.struct(
+                        h.alias("h"),
+                        F.col("dst"),
+                        F.col("rep"),
+                        F.col("cur"),
+                        F.col("prev"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "start",
+                F.when(F.col("m.dst").isNull(), F.col("m.prev"))
+                .otherwise(F.col("m.cur"))
+                .alias("prev"),
+                F.coalesce("m.dst", F.col("m.cur")).alias("cur"),
+            )
+        )
+    return walks.select("start", "cur")

@@ -77,3 +77,92 @@ def test_assortativity_degenerate_is_null(spark):
     g = graph_from_numpy(spark, edges_ring(12), 12)  # all degrees 2
     row = degree_assortativity(g).collect()[0]
     assert row["assortativity"] is None
+
+
+def test_node2vec_walk_matches_python_reference(spark):
+    """The biased second-order walk must replay the exact same
+    deterministic weighted choices as a pure-python simulation, and its
+    bias must actually change endpoints vs the uniform walk."""
+    from planar_spark.config import EngineConfig
+    from planar_spark.kernels.neighborhood import (
+        WALK_H_A,
+        WALK_H_B,
+        WALK_H_C,
+        WALK_H_D,
+        WALK_H_MOD,
+        node2vec_walk,
+        random_walk,
+    )
+    from planar_spark.ingest.pages import edges_powerlaw
+    from tests.conftest import graph_from_numpy
+
+    n, steps, mod = 250, 4, 7
+    edges = edges_powerlaw(n, m=3, seed=41)
+    g = graph_from_numpy(spark, edges, n)
+    cfg = EngineConfig(num_partitions=8)
+    got = {
+        r["start"]: r["cur"]
+        for r in node2vec_walk(g, cfg, num_steps=steps, start_mod=mod).collect()
+    }
+
+    out: dict[int, list[int]] = {}
+    und: set[tuple[int, int]] = set()
+    dedup = set()
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        if (a, b) not in dedup:
+            dedup.add((a, b))
+            out.setdefault(a, []).append(b)
+        und.add((a, b))
+        und.add((b, a))
+    for lst in out.values():
+        lst.sort()
+
+    def sim(start):
+        prev, cur = start, start
+        for k in range(1, steps + 1):
+            cands = out.get(cur, [])
+            if not cands:
+                continue  # stays forever
+            best = None
+            for dst in cands:
+                if dst == prev:
+                    w = 1
+                elif (prev, dst) in und:
+                    w = 2
+                else:
+                    w = 1
+                for rep in range(w):
+                    h = (
+                        cur * WALK_H_A + dst * WALK_H_B
+                        + k * WALK_H_C + rep * WALK_H_D
+                    ) % WALK_H_MOD
+                    key = (h, dst, rep)
+                    if best is None or key < best:
+                        best = key
+            prev, cur = cur, best[1]
+        return cur
+
+    for start in range(0, n, mod):
+        assert got[start] == sim(start), start
+    # bias effectiveness: on a triangle-dense graph (two 12-cliques)
+    # every candidate is distance-1 from prev (weight 2), so the extra
+    # replicas change at least one deterministic choice vs uniform
+    from itertools import combinations
+
+    cl = np.array(
+        [(a, b) for a, b in combinations(range(12), 2)]
+        + [(12 + a, 12 + b) for a, b in combinations(range(12), 2)]
+    )
+    g2 = graph_from_numpy(spark, cl, 24)
+    b2 = {
+        r["start"]: r["cur"]
+        for r in node2vec_walk(g2, cfg, num_steps=steps, start_mod=mod).collect()
+    }
+    u2 = {
+        r["start"]: r["cur"]
+        for r in random_walk(g2, cfg, num_steps=steps, start_mod=mod).collect()
+    }
+    assert any(u2[s] != b2[s] for s in b2)

@@ -1077,6 +1077,33 @@ def _random_walk_sql() -> str:
     return "\n".join(parts)
 
 
+def _triad_sql() -> str:
+    """Directed-triangle census over the x<y<z undirected triangle
+    enumeration (role assignment is irrelevant: both counts are
+    functions of the triangle as a set). Mapping x,y,z -> a,b,c."""
+    exists = (
+        lambda s, d: f"CAST(EXISTS (SELECT 1 FROM edges e"
+        f" WHERE e.src = t.{s} AND e.dst = t.{d}) AS BIGINT)"
+    )
+    return f"""WITH {_EDGES},
+{_UND},
+t AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1
+ JOIN u e2 ON e1.b = e2.a
+ JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+fl AS MATERIALIZED (SELECT
+ {exists('x', 'y')} AS f_ab, {exists('y', 'x')} AS f_ba,
+ {exists('x', 'z')} AS f_ac, {exists('z', 'x')} AS f_ca,
+ {exists('y', 'z')} AS f_bc, {exists('z', 'y')} AS f_cb
+ FROM t)
+SELECT CAST(COALESCE(SUM(f_ab * f_bc * f_ca + f_ba * f_cb * f_ac), 0)
+       AS BIGINT) AS n_cyclic,
+       CAST(COALESCE(SUM(f_ab * f_bc * f_ac + f_ac * f_cb * f_ab
+                       + f_ba * f_ac * f_bc + f_bc * f_ca * f_ba
+                       + f_ca * f_ab * f_cb + f_cb * f_ba * f_ca), 0)
+       AS BIGINT) AS n_transitive
+FROM fl"""
+
+
 def _node2vec_sql(w_return: int = 1, w_common: int = 2, w_far: int = 1) -> str:
     """Unrolled deterministic node2vec walk: per step, candidate
     transition weights (return / distance-1 / far vs the PREVIOUS
@@ -1390,6 +1417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = _graph(spark, sf_dir)
         return degree_assortativity(g)
+
+    def q_triad_census(spark, sf_dir):
+        from planar_spark.kernels.graphstats import triad_census
+
+        g = _graph(spark, sf_dir)
+        return triad_census(g, _cfg())
 
     def q_harmonic_centrality(spark, sf_dir):
         from planar_spark.kernels.hyperball import harmonic_centrality
@@ -1817,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "pagerank_warmstart": q_pagerank_warmstart,
         "assortativity": q_assortativity,
+        "triad_census": q_triad_census,
         "harmonic_centrality": q_harmonic_centrality,
         "closeness_centrality": q_closeness_centrality,
         "ktruss": q_ktruss,
@@ -1946,6 +1980,7 @@ FROM documents d CROSS JOIN pos""",
         "distance_histogram": _dist_hist_sql(),
         "effective_diameter": _eff_diam_sql(),
         "assortativity": _assortativity_sql(),
+        "triad_census": _triad_sql(),
         "harmonic_centrality": _harmonic_sql(),
         "closeness_centrality": _closeness_sql(),
         "ktruss": _ktruss_sql(),

@@ -20,6 +20,7 @@ from planar_spark.kernels.graphstats import (
     powerlaw_alpha,
     reciprocity,
     sample_edges,
+    triad_census,
 )
 from planar_spark.kernels.hyperball import (
     closeness_centrality,
@@ -41,6 +42,7 @@ __all__ = [
     "powerlaw_alpha",
     "reciprocity",
     "sample_edges",
+    "triad_census",
     "closeness_centrality",
     "distance_histogram",
     "effective_diameter",

@@ -106,6 +106,63 @@ def degree_assortativity(graph: GraphTables) -> DataFrame:
     )
 
 
+def triad_census(graph: GraphTables, config=None) -> DataFrame:
+    """One row (n_cyclic, n_transitive): directed-triangle census of the
+    link graph — cyclic triples (a→b→c→a) vs transitive triples
+    (a→b→c with a→c). The cyclic/transitive ratio distinguishes
+    hierarchy (directories, hub-and-spoke sites) from mutual-citation
+    structure; each count is over ordered pattern INSTANCES (a triangle
+    with reciprocated edges contributes several).
+
+    Scale shape: never enumerates raw directed wedges (Σ in(b)·out(b)
+    explodes on hubs). Instead the UNDIRECTED triangles come from the
+    degree-oriented two-join (kernels/triangles.py — wedge work bounded
+    O(E^1.5)), then each triangle fetches its six direction flags with
+    equi-joins against the directed edge set and one closed-form
+    integer expression counts both pattern families per triangle.
+    """
+    from planar_spark.config import EngineConfig
+    from planar_spark.kernels.triangles import _closed_wedges
+
+    config = config or EngineConfig()
+    tri = _closed_wedges(graph, config)  # (a, b, c): each und. triangle once
+    e = graph.edges.select("src", "dst").distinct()
+
+    def flag(frm, to, name):
+        d = e.select(
+            F.col("src").alias(f"_f{name}"), F.col("dst").alias(f"_t{name}"),
+            F.lit(1).alias(name),
+        )
+        return (
+            lambda df: df.join(
+                d,
+                (df[frm] == d[f"_f{name}"]) & (df[to] == d[f"_t{name}"]),
+                "left",
+            ).drop(f"_f{name}", f"_t{name}")
+        )
+
+    for frm, to, name in [
+        ("a", "b", "f_ab"), ("b", "a", "f_ba"),
+        ("a", "c", "f_ac"), ("c", "a", "f_ca"),
+        ("b", "c", "f_bc"), ("c", "b", "f_cb"),
+    ]:
+        tri = flag(frm, to, name)(tri)
+    z = lambda n: F.coalesce(F.col(n), F.lit(0))  # noqa: E731
+    cyc = z("f_ab") * z("f_bc") * z("f_ca") + z("f_ba") * z("f_cb") * z("f_ac")
+    trans = (
+        z("f_ab") * z("f_bc") * z("f_ac")
+        + z("f_ac") * z("f_cb") * z("f_ab")
+        + z("f_ba") * z("f_ac") * z("f_bc")
+        + z("f_bc") * z("f_ca") * z("f_ba")
+        + z("f_ca") * z("f_ab") * z("f_cb")
+        + z("f_cb") * z("f_ba") * z("f_ca")
+    )
+    return tri.agg(
+        F.coalesce(F.sum(cyc), F.lit(0)).cast("long").alias("n_cyclic"),
+        F.coalesce(F.sum(trans), F.lit(0)).cast("long").alias("n_transitive"),
+    )
+
+
 def sample_edges(
     edges: DataFrame, pct: int, salt: str = "e0"
 ) -> DataFrame:

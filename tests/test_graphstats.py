@@ -166,3 +166,27 @@ def test_node2vec_walk_matches_python_reference(spark):
         for r in random_walk(g2, cfg, num_steps=steps, start_mod=mod).collect()
     }
     assert any(u2[s] != b2[s] for s in b2)
+
+
+def test_triad_census_hand_values(spark):
+    from planar_spark.config import EngineConfig
+    from planar_spark.kernels.graphstats import triad_census
+    from tests.conftest import graph_from_numpy
+
+    cfg = EngineConfig(num_partitions=8)
+
+    def census(edge_list, n):
+        g = graph_from_numpy(spark, np.array(edge_list), n)
+        r = triad_census(g, cfg).collect()[0]
+        return r["n_cyclic"], r["n_transitive"]
+
+    # pure 3-cycle: one cyclic triple, no transitive
+    assert census([(0, 1), (1, 2), (2, 0)], 3) == (1, 0)
+    # transitive triple: one transitive, no cycle
+    assert census([(0, 1), (1, 2), (0, 2)], 3) == (0, 1)
+    # fully reciprocated triangle (all 6 arcs): 2 cyclic, 6 transitive
+    assert census(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)], 3
+    ) == (2, 6)
+    # triangle-free graph: zeros
+    assert census([(0, 1), (1, 2), (2, 3)], 4) == (0, 0)

@@ -323,11 +323,19 @@ def main() -> None:
         )
         try:
             est = hyperball(bg, 1, cfg, lg_config_k=10)
-            exact = (
+            # exact 1-hop ball from the VERTEX table (left join) so
+            # zero-out-degree sinks — where nf is exactly 1 — are part
+            # of the error average, not silently excluded
+            out_nbrs = (
                 bg.edges.select("src", "dst")
                 .distinct()
                 .groupBy(F.col("src").alias("vid"))
-                .agg((F.count(F.lit(1)) + 1).alias("nf"))
+                .agg(F.count(F.lit(1)).alias("n_out"))
+            )
+            exact = bg.vertices.select("vid").join(
+                out_nbrs, "vid", "left"
+            ).select(
+                "vid", (F.coalesce("n_out", F.lit(0)) + 1).alias("nf")
             )
             err_row = (
                 est.join(exact, "vid")

@@ -63,6 +63,10 @@ def main() -> None:
     args = ap.parse_args()
     if not (args.pages or args.graph):
         ap.error("one of --pages / --graph is required")
+    if args.resume and args.run_id is None:
+        # a generated run-id can never match a prior run's checkpoints,
+        # so --resume without --run-id would silently restart round 0
+        ap.error("--resume requires --run-id (the id of the run to resume)")
 
     spark = SparkSession.builder.appName(f"planar_spark_{args.kernel}").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -236,6 +236,10 @@ def effective_diameter(
     hist = distance_histogram(graph, radius, config).collect()
     counts = sorted((int(r["dist"]), int(r["n_pairs"])) for r in hist)
     total = sum(n for _, n in counts)
+    if not counts or total == 0:  # empty graph: no pairs at any distance
+        return graph.spark.createDataFrame(
+            [(float(q), 0.0)], schema="q double, eff_diameter double"
+        )
     target = q * total
     cum = 0
     eff = float(counts[-1][0])

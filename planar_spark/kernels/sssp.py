@@ -186,10 +186,14 @@ def weighted_sssp(
       first relax; the frontier broadcasts when small.
 
     Riding the engine also buys the durable per-superstep checkpoint /
-    ``resume`` path for free (a resumed run uses the reached set as its
-    first frontier — a superset of the true frontier, which is always
-    correct for Bellman-Ford, then re-tightens). Terminates at the
-    exact fixpoint; raises if ``max_rounds`` is exhausted first."""
+    ``resume`` path for free: the checkpointed state carries the
+    ``_imp`` flag, so a resumed run re-derives the EXACT Bellman-Ford
+    frontier (``_imp == 1``) — the same set the checkpoint's
+    ``improved`` metric counted, so the broadcast-size seed always
+    matches the frontier actually broadcast (an O(V) reached-set
+    frontier with a small size seed could force-broadcast the whole
+    state). Terminates at the exact fixpoint; raises if ``max_rounds``
+    is exhausted first."""
     import dataclasses
 
     config = config or EngineConfig()
@@ -230,9 +234,13 @@ def weighted_sssp(
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         frontier = carry["frontier"]
-        if frontier is None:  # first step of a fresh or resumed run
+        if frontier is None:  # first step of a fresh or resumed run:
+            # the exact Bellman-Ford frontier is the _imp==1 set (the
+            # source on a fresh init; the last completed round's
+            # improved set on resume — matching the checkpointed
+            # 'improved' metric that seeded carry['size'])
             frontier = (
-                state.where(F.col("dist") < INF)
+                state.where(F.col("_imp") == 1)
                 .select("vid", "dist")
                 .localCheckpoint(eager=True)
             )

@@ -321,6 +321,12 @@ def main() -> None:
             "hyperball_r2_sec",
             lambda: hyperball(bg, 2, cfg, lg_config_k=10).count(),
         )
+        from planar_spark.kernels.hyperball import hyperball_centralities
+
+        timed_big(
+            "hyperball_centralities_r2_sec",
+            lambda: hyperball_centralities(bg, 2, cfg, lg_config_k=10).count(),
+        )
         try:
             est = hyperball(bg, 1, cfg, lg_config_k=10)
             # exact 1-hop ball from the VERTEX table (left join) so
@@ -350,6 +356,23 @@ def main() -> None:
             mre = float(err_row["mean_rel_err"])
             big["hyperball_r1_mean_rel_err"] = round(mre, 5)
             big["hyperball_err_within_bound"] = mre < 0.08
+            # sketch-mode centralities at r=1: harmonic_est should be
+            # the out-degree (= exact nf - 1); same HLL bound applies
+            cent = hyperball_centralities(bg, 1, cfg, lg_config_k=10)
+            h_row = (
+                cent.join(exact, "vid")
+                .select(
+                    (
+                        F.abs(F.col("harmonic_est") - (F.col("nf") - 1))
+                        / F.greatest(F.col("nf") - 1, F.lit(1))
+                    ).alias("e")
+                )
+                .agg(F.avg("e").alias("mean_rel_err"))
+                .collect()[0]
+            )
+            hre = float(h_row["mean_rel_err"])
+            big["harmonic_sketch_r1_mean_rel_err"] = round(hre, 5)
+            big["harmonic_sketch_err_within_bound"] = hre < 0.08
         except Exception as e:  # noqa: BLE001
             big["hyperball_r1_mean_rel_err"] = (
                 f"error: {type(e).__name__}: {e}"

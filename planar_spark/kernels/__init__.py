@@ -28,6 +28,7 @@ from planar_spark.kernels.hyperball import (
     effective_diameter,
     harmonic_centrality,
     hyperball,
+    hyperball_centralities,
     neighborhood_function_exact,
 )
 
@@ -48,6 +49,7 @@ __all__ = [
     "effective_diameter",
     "harmonic_centrality",
     "hyperball",
+    "hyperball_centralities",
     "neighborhood_function_exact",
     "hits",
     "incremental_wcc",

@@ -119,7 +119,13 @@ def harmonic_centrality(
     each level's per-vertex NEW-pair count joins the result as its own
     integer column and one fixed left-to-right expression
     c1/1 + c2/2 + ... + cR/R does the float math — bit-identical to the
-    SQL oracle's identical expression."""
+    SQL oracle's identical expression.
+
+    SCALE NOTE: this exact mode materializes the truncated reachable-
+    pair set (O(Σ_v N(v,r)) rows) — the small-radius ORACLE mode. At
+    web scale use ``hyperball_centralities``: same recurrence over
+    O(V·sketch_bytes) HLL state, error-bounded against this mode in
+    pytest (mirrors neighborhood_function_exact vs hyperball)."""
     config = config or EngineConfig()
     base = graph.vertices.select(F.col("vid"), F.col("vid").alias("t"))
     reach = releaf(base.localCheckpoint(eager=True))
@@ -167,7 +173,10 @@ def closeness_centrality(
     nothing but the vertex itself is reached). Unlike harmonic
     centrality the sufficient statistics here are PURE INTEGERS
     (reached count and total distance), so cross-engine determinism is
-    free — the one double division happens after exact integer math."""
+    free — the one double division happens after exact integer math.
+
+    SCALE NOTE: exact-closure oracle mode — see harmonic_centrality's
+    scale note; ``hyperball_centralities`` is the 100 TB path."""
     config = config or EngineConfig()
     base = graph.vertices.select(F.col("vid"), F.col("vid").alias("t"))
     reach = releaf(base.localCheckpoint(eager=True))
@@ -302,6 +311,113 @@ def hyperball(
         )
     out = state.select(
         "vid", F.hll_sketch_estimate("sk").alias("nf_est")
+    )
+    rev.unpersist()
+    return out
+
+
+def hyperball_centralities(
+    graph: GraphTables,
+    radius: int,
+    config: EngineConfig | None = None,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """(vid, nf_est, harmonic_est, closeness_est): truncated harmonic
+    and closeness centrality estimated from HyperBall's HLL counters —
+    Boldi-Vigna's actual production path ("HyperBall: beyond 1.5
+    billion distance computations", §2: any Σ f(dist) decomposes over
+    the per-radius ball-size deltas).
+
+    Per superstep r the sketch union is the same reversed-edge merge
+    join as ``hyperball``; the NEW work is three pure column
+    expressions on the union projection (no extra shuffle, no extra
+    job):
+
+        est_r       = hll_sketch_estimate(sk_r)
+        delta_r     = est_r - est_{r-1}      (#vertices at distance ~r)
+        harmonic   += delta_r / r
+        dist_total += r * delta_r
+
+    and closeness_est = (est_R - 1) / dist_total at the end — the same
+    Wasserman-Faust truncation the exact kernel computes. Deltas are
+    non-negative because HLL registers only grow and the estimator is
+    monotone in the registers.
+
+    State stays O(V · sketch_bytes) REGARDLESS of radius — this is the
+    100 TB mode; the exact kernels above are its small-radius oracle.
+    At pytest scale the Datasketches sketch is in sparse-exact range,
+    so the estimates match the exact kernels to float tolerance; at
+    bench scale the error bound is asserted like hyperball's
+    (bench.py big_graph: harmonic r=1 vs exact out-degree).
+    """
+    config = config or EngineConfig()
+    parts = config.partitions_for(graph.spark)
+
+    rev = (
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .distinct()
+        .repartition(parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    est = F.hll_sketch_estimate("sk")
+    state = releaf(
+        graph.vertices.groupBy("vid")
+        .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
+        .select(
+            "vid", "sk",
+            est.alias("prev_est"),
+            F.lit(0.0).alias("h"),
+            F.lit(0.0).alias("dist_total"),
+        )
+        .repartition(parts, "vid")
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, radius + 1):
+        msgs = (
+            rev.join(
+                state.select("vid", "sk").withColumnRenamed("vid", "src"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.hll_union_agg("sk").alias("nsk"))
+        )
+        merged = F.when(F.col("nsk").isNull(), F.col("sk")).otherwise(
+            F.hll_union("sk", "nsk")
+        )
+        delta = F.col("_est") - F.col("prev_est")
+        state = releaf(
+            state.join(msgs, "vid", "left")
+            .select(
+                "vid",
+                merged.alias("sk"),
+                "prev_est", "h", "dist_total",
+            )
+            .select(
+                "vid", "sk", est.alias("_est"),
+                "prev_est", "h", "dist_total",
+            )
+            .select(
+                "vid", "sk",
+                F.col("_est").alias("prev_est"),
+                (F.col("h") + delta / F.lit(float(r))).alias("h"),
+                (F.col("dist_total") + F.lit(float(r)) * delta).alias(
+                    "dist_total"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = state.select(
+        "vid",
+        F.col("prev_est").alias("nf_est"),
+        F.round("h", 6).alias("harmonic_est"),
+        F.round(
+            F.when(
+                F.col("dist_total") > 0.0,
+                (F.col("prev_est") - 1.0) / F.col("dist_total"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("closeness_est"),
     )
     rev.unpersist()
     return out

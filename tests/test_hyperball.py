@@ -164,6 +164,53 @@ def test_harmonic_centrality_ring_and_star(spark, config):
         assert abs(got2[v] - round(want_v, 6)) < 1e-9, (v, got2[v], want_v)
 
 
+def test_hyperball_centralities_match_exact(spark, config):
+    """Sketch-mode harmonic/closeness vs the exact kernels: at these
+    cardinalities the Datasketches HLL is in sparse-exact range, so the
+    per-radius deltas — and hence both centralities — should agree with
+    the exact mode within a small relative tolerance (the bench asserts
+    the large-scale error bound, mirroring hyperball's)."""
+    from planar_spark.kernels.hyperball import (
+        closeness_centrality,
+        harmonic_centrality,
+        hyperball_centralities,
+    )
+
+    n, r = 120, 3
+    edges = edges_powerlaw(n, m=3, seed=31)
+    g = graph_from_numpy(spark, edges, n)
+    est = {
+        row["vid"]: (row["nf_est"], row["harmonic_est"], row["closeness_est"])
+        for row in hyperball_centralities(g, r, config).collect()
+    }
+    want_h = {
+        row["vid"]: row["harmonic"]
+        for row in harmonic_centrality(g, r, config).collect()
+    }
+    want_c = {
+        row["vid"]: (row["reached"], row["closeness"])
+        for row in closeness_centrality(g, r, config).collect()
+    }
+    assert set(est) == set(want_h)
+    for v in est:
+        nf_est, h_est, c_est = est[v]
+        reached, closeness = want_c[v]
+        assert nf_est == pytest.approx(reached, rel=0.05)
+        assert h_est == pytest.approx(want_h[v], rel=0.05, abs=0.05)
+        assert c_est == pytest.approx(closeness, rel=0.05, abs=0.02)
+
+
+def test_effective_diameter_empty_graph(spark, config):
+    import numpy as np
+
+    from planar_spark.kernels.hyperball import effective_diameter
+    from tests.conftest import graph_from_numpy
+
+    g = graph_from_numpy(spark, np.empty((0, 2), dtype=np.int64), 0)
+    row = effective_diameter(g, 3, q=0.9, config=config).collect()
+    assert len(row) == 1 and row[0]["eff_diameter"] == 0.0
+
+
 def test_closeness_centrality_ring(spark, config):
     from planar_spark.kernels.hyperball import closeness_centrality
     from planar_spark.ingest.pages import edges_ring

@@ -38,7 +38,6 @@ from planar_spark.kernels import (
     hits,
     label_propagation,
     pagerank,
-    triangle_count_per_vertex,
 )
 from planar_spark.kernels.neighborhood import (
     WALK_H_A,
@@ -59,12 +58,10 @@ from planar_spark.kernels.textops import (
     embedding_topk,
     lsh_candidate_pairs,
     near_dup_clusters,
-    ngram_jaccard,
     quality_score,
     simhash,
     winnow_fingerprints,
 )
-from planar_spark.kernels.triangles import _closed_wedges
 from planar_spark.testdata_graph import V_MOD, derive_edges
 
 # ---------------------------------------------------------------- config
@@ -988,19 +985,29 @@ def _coloring_sql() -> str:
     return "\n".join(parts)
 
 
-def _msf_sql() -> str:
+def _msf_sql(weighted: bool = False) -> str:
     """Unrolled Boruvka MSF oracle (graph8).
 
-    The MSF under distinct weights is UNIQUE, so the oracle only has to
-    be a correct MSF over the same weights: undirected edge (a, b)
-    (a < b) weighted lexicographically — encoded as the scalar
-    a*V_MOD+b, order-preserving because every vid is < V_MOD by
-    construction (derived, not hard-coded, so a changed gate-graph
-    derivation cannot silently corrupt the oracle).
+    The MSF under a strict TOTAL ORDER on edges is UNIQUE, so the
+    oracle only has to be a correct MSF under the same order:
+
+    - default: undirected edge (a, b) (a < b) ordered lexicographically
+      — encoded as the scalar a*V_MOD+b, order-preserving because every
+      vid is < V_MOD by construction (derived, not hard-coded, so a
+      changed gate-graph derivation cannot silently corrupt the oracle);
+    - weighted: real weight w(a,b) = (a*7 + b*13) % 100 + 1 (ties are
+      common — the total order (w, a, b) resolves them), encoded
+      order-preservingly as w*V_MOD^2 + a*V_MOD + b.
+
     Each round: per-component min incident edge, hook to min label,
     pointer-double to a fixpoint (unroll sized from measured depth).
     """
-    enc = f"(a * {V_MOD} + b)"
+    wexpr = f"((a * 7 + b * 13) % 100 + 1)"
+    enc = (
+        f"({wexpr} * {V_MOD * V_MOD} + a * {V_MOD} + b)"
+        if weighted
+        else f"(a * {V_MOD} + b)"
+    )
     parts = [
         f"WITH {_EDGES8},",
         _UND + ",",
@@ -1017,7 +1024,7 @@ def _msf_sql() -> str:
         )
         parts.append(
             f", pk{k} AS MATERIALIZED (SELECT DISTINCT"
-            f" (w // {V_MOD}) AS a, (w % {V_MOD}) AS b FROM ("
+            f" ((w // {V_MOD}) % {V_MOD}) AS a, (w % {V_MOD}) AS b FROM ("
             f"SELECT comp, MIN(w) AS w FROM ("
             f"SELECT ca AS comp, {enc} AS w FROM lv{k}"
             f" UNION ALL SELECT cb, {enc} FROM lv{k}"
@@ -1048,9 +1055,12 @@ def _msf_sql() -> str:
             f" (SELECT vid, label FROM j{k}_{MSF_ORACLE_JUMPS})"
         )
     union = " UNION ".join(f"SELECT a, b FROM {n}" for n in pick_names)
+    wcol = (
+        f", CAST({wexpr} AS BIGINT) AS w" if weighted else ""
+    )
     parts.append(
         f"SELECT DISTINCT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b"
-        f" FROM ({union})"
+        f"{wcol} FROM ({union})"
     )
     return "\n".join(parts)
 
@@ -1412,12 +1422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return k_truss(g, TRUSS_K, _cfg())
 
-    def q_assortativity(spark, sf_dir):
-        from planar_spark.kernels.graphstats import degree_assortativity
-
-        g = _graph(spark, sf_dir)
-        return degree_assortativity(g)
-
     def q_triad_census(spark, sf_dir):
         from planar_spark.kernels.graphstats import triad_census
 
@@ -1508,16 +1512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = label_propagation(g, _cfg(), num_iterations=LPA_ROUNDS)
         return r.state.select("vid", "label")
 
-    def q_triangle_count(spark, sf_dir):
-        g = _graph(spark, sf_dir)
-        return _closed_wedges(g, _cfg()).agg(
-            F.count(F.lit(1)).alias("n_triangles")
-        )
-
-    def q_triangle_per_vertex(spark, sf_dir):
-        g = _graph(spark, sf_dir)
-        return triangle_count_per_vertex(g, _cfg())
-
     def q_local_clustering(spark, sf_dir):
         from planar_spark.kernels.triangles import local_clustering
 
@@ -1531,26 +1525,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return g.degrees.select("vid", "out_deg")
 
-    def q_degree_histogram(spark, sf_dir):
-        from planar_spark.kernels.graphstats import degree_histogram
+    def q_graph_profile(spark, sf_dir):
+        # consolidated gate (r5): the one-pass graph profile — degree
+        # histogram + reciprocity + power-law MLE + assortativity
+        # melted to (stat, key, value) rows, the same shape as
+        # jobs/run_kernel.py's `stats` kernel. One hard gate
+        # value-hashes all four graphstats kernels.
+        from planar_spark.kernels.graphstats import (
+            degree_assortativity,
+            degree_histogram,
+            powerlaw_alpha,
+            reciprocity,
+        )
 
-        return degree_histogram(_graph(spark, sf_dir))
+        g = _graph(spark, sf_dir)
 
-    def q_powerlaw_alpha(spark, sf_dir):
-        from planar_spark.kernels.graphstats import powerlaw_alpha
+        def melt(df, stat, cols):
+            parts = [
+                df.select(
+                    F.lit(stat).alias("stat"),
+                    F.lit(key).alias("key"),
+                    F.col(c).cast("double").alias("value"),
+                )
+                for key, c in cols
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out
 
-        return powerlaw_alpha(_graph(spark, sf_dir), dmin=2)
-
-    def q_reciprocity(spark, sf_dir):
-        from planar_spark.kernels.graphstats import reciprocity
-
-        return reciprocity(_graph(spark, sf_dir))
-
-    def q_one_hop_min(spark, sf_dir):
-        return one_hop_min(_graph(spark, sf_dir))
+        h = degree_histogram(g).select(
+            F.lit("degree_histogram").alias("stat"),
+            F.col("bucket").cast("string").alias("key"),
+            F.col("n_vertices").cast("double").alias("value"),
+        )
+        r = melt(
+            reciprocity(g),
+            "reciprocity",
+            [
+                ("n_edges", "n_edges"),
+                ("n_reciprocal", "n_reciprocal"),
+                ("ratio", "reciprocity"),
+            ],
+        )
+        p = melt(
+            powerlaw_alpha(g, dmin=2),
+            "powerlaw",
+            [("n_tail", "n_tail"), ("alpha", "alpha")],
+        )
+        a = melt(
+            degree_assortativity(g),
+            "assortativity",
+            [("n_ends", "n_ends"), ("pearson_r", "assortativity")],
+        )
+        return h.unionAll(r).unionAll(p).unionAll(a)
 
     def q_two_hop_stats(spark, sf_dir):
-        return two_hop_stats(_graph(spark, sf_dir))
+        # consolidated gate (r5): the one-hop WriteMin accessor joins
+        # in on vid (every vertex with a 2-hop path has out-edges, so
+        # the inner join keeps exactly the two-hop row set)
+        g = _graph(spark, sf_dir)
+        return two_hop_stats(g).join(one_hop_min(g), "vid")
 
     def q_sssp(spark, sf_dir):
         g = _graph(spark, sf_dir)
@@ -1607,20 +1642,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_lang_stats(spark, sf_dir):
+        # consolidated gate (r5): groups by the DETECTED language, so
+        # one hard gate value-hashes both the stopword language-ID
+        # kernel (textops.detect_language) and the corpus aggregation
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return docs.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+        pred = detect_language(docs)
+        return (
+            docs.join(pred, "doc_id")
+            .groupBy("pred_lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
         )
 
     def q_minhash_lsh_pairs(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return lsh_candidate_pairs(docs, n=3, num_hashes=8, bands=4)
-
-    def q_ngram_jaccard(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        pairs = lsh_candidate_pairs(docs, n=3, num_hashes=8, bands=4)
-        return ngram_jaccard(docs, pairs, n=3)
 
     def q_embedding_topk(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1713,26 +1751,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return quality_score(docs)
 
-    def q_detect_language(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return detect_language(docs)
-
     def q_dedup_near_clusters(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return near_dup_clusters(docs)
 
-    def q_simhash(spark, sf_dir):
+    def q_fingerprints(spark, sf_dir):
+        # consolidated gate (r5): SimHash + winnowing fingerprints
+        # unioned under a kind column — one hard gate, both kernels
+        # value-hashed (they share no code path past tokenization)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return simhash(docs, bits=32)
-
-    def q_winnow_fingerprints(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return winnow_fingerprints(docs, k=5, window=4)
+        sh = simhash(docs, bits=32).select(
+            "doc_id",
+            F.lit("simhash").alias("kind"),
+            F.col("simhash").alias("fp"),
+        )
+        wf = winnow_fingerprints(docs, k=5, window=4).select(
+            "doc_id", F.lit("winnow").alias("kind"), F.col("fp")
+        )
+        return sh.unionAll(wf)
 
     def q_msf(spark, sf_dir):
         from planar_spark.kernels.mst import boruvka_msf
 
         return boruvka_msf(_graph8(spark, sf_dir), _cfg())
+
+    def q_msf_weighted(spark, sf_dir):
+        from planar_spark.kernels.mst import boruvka_msf
+
+        g = _graph8(spark, sf_dir)
+        wdf = g.undirected_edges().select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            ((F.col("a") * 7 + F.col("b") * 13) % 100 + 1).alias("w"),
+        )
+        return boruvka_msf(g, _cfg(), weights=wdf)
 
     def q_coloring(spark, sf_dir):
         from planar_spark.kernels.coloring import greedy_coloring
@@ -1837,46 +1888,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("val", 6).alias("val"),
         )
 
+    # EXACTLY 50 gates — the driver's per-round check budget (measured
+    # r4: 50 of 58 registered gates were checked, silently dropping the
+    # dict tail). Curated r5 by consolidation, not deletion:
+    #   simhash + winnow_fingerprints      -> fingerprints (kind column)
+    #   detect_language + lang_stats       -> lang_stats (group by pred)
+    #   one_hop_min + two_hop_stats        -> two_hop_stats (vid join)
+    #   degree_histogram/reciprocity/
+    #     powerlaw_alpha/assortativity     -> graph_profile (stat melt)
+    #   triangle_count/triangle_per_vertex -> local_clustering (carries
+    #                                         per-vertex triangles)
+    #   ngram_jaccard                      -> dropped as a standalone
+    #     key: dedup_near_clusters's oracle value-hashes the LSH ->
+    #     jaccard rerank end-to-end; kernel pytest remains.
+    # §2-canonical kernels lead so they can never rotate out.
     return {
         "pagerank": q_pagerank,
-        "ppr": q_ppr,
-        "hits": q_hits,
         "wcc": q_wcc,
-        "wcc_incremental": q_wcc_incremental,
+        "lpa": q_lpa,
+        "sssp": q_sssp,
+        "msf": q_msf,
+        "msf_weighted": q_msf_weighted,
+        "coloring": q_coloring,
+        "kcore": q_kcore,
+        "ktruss": q_ktruss,
         "scc": q_scc,
+        "gnn_forward": q_gnn_forward,
+        "stream_edges": q_stream_edges,
+        "hits": q_hits,
+        "ppr": q_ppr,
+        "wcc_incremental": q_wcc_incremental,
         "bowtie": q_bowtie,
+        "sssp_weighted": q_sssp_weighted,
+        "pagerank_warmstart": q_pagerank_warmstart,
         "neighborhood_function": q_neighborhood_function,
         "distance_histogram": q_distance_histogram,
         "effective_diameter": q_effective_diameter,
-        "pagerank_warmstart": q_pagerank_warmstart,
-        "assortativity": q_assortativity,
         "triad_census": q_triad_census,
         "harmonic_centrality": q_harmonic_centrality,
         "closeness_centrality": q_closeness_centrality,
-        "ktruss": q_ktruss,
-        "sssp_weighted": q_sssp_weighted,
-        "edge_sample": q_edge_sample,
-        "lpa": q_lpa,
-        "triangle_count": q_triangle_count,
-        "triangle_per_vertex": q_triangle_per_vertex,
         "local_clustering": q_local_clustering,
+        "graph_profile": q_graph_profile,
+        "edge_sample": q_edge_sample,
         "out_degrees": q_out_degrees,
-        "degree_histogram": q_degree_histogram,
-        "reciprocity": q_reciprocity,
-        "powerlaw_alpha": q_powerlaw_alpha,
-        "one_hop_min": q_one_hop_min,
         "two_hop_stats": q_two_hop_stats,
-        "sssp": q_sssp,
         "khop_risk": q_khop_risk,
         "random_walk": q_random_walk,
         "node2vec_walk": q_node2vec_walk,
-        "kcore": q_kcore,
         "dict_encode": q_dict_encode,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "lang_stats": q_lang_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_topk": q_embedding_ann_topk,
         "multimodal_decode": q_multimodal_decode,
@@ -1888,14 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
         "corpus_ngram_dedup": q_corpus_ngram_dedup,
-        "detect_language": q_detect_language,
         "dedup_near_clusters": q_dedup_near_clusters,
-        "simhash": q_simhash,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "msf": q_msf,
-        "coloring": q_coloring,
-        "gnn_forward": q_gnn_forward,
-        "stream_edges": q_stream_edges,
+        "fingerprints": q_fingerprints,
     }
 
 
@@ -1925,6 +1982,7 @@ SELECT 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR),
 FROM d""",
         "coloring": _coloring_sql(),
         "msf": _msf_sql(),
+        "msf_weighted": _msf_sql(weighted=True),
         "kcore": _kcore_sql(),
         "embedding_ann_topk": _ann_sql(),
         "quality_score": _quality_sql(),
@@ -1963,7 +2021,6 @@ SELECT doc_id,
                    '/+$', '') AS url_norm
 FROM messy""",
         "corpus_ngram_dedup": _corpus_dedup_sql(5),
-        "detect_language": _langid_sql(),
         "dedup_near_clusters": _near_dup_sql(),
         "multimodal_decode": """WITH pos AS (
     SELECT UNNEST(generate_series(0, 15)) AS p
@@ -1979,7 +2036,6 @@ FROM documents d CROSS JOIN pos""",
         "neighborhood_function": _nf_sql(),
         "distance_histogram": _dist_hist_sql(),
         "effective_diameter": _eff_diam_sql(),
-        "assortativity": _assortativity_sql(),
         "triad_census": _triad_sql(),
         "harmonic_centrality": _harmonic_sql(),
         "closeness_centrality": _closeness_sql(),
@@ -1993,15 +2049,6 @@ SELECT src, dst FROM edges
 WHERE CAST(('0x' || substr(md5('e0' || CAST(src AS VARCHAR) || '_'
             || CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20""",
         "lpa": _lpa_sql(),
-        "triangle_count": tri_base
-        + "\nSELECT COUNT(*) AS n_triangles FROM t",
-        "triangle_per_vertex": tri_base
-        + """
-, corners AS (SELECT x AS vid FROM t UNION ALL SELECT y FROM t
-              UNION ALL SELECT z FROM t)
-SELECT v.vid, COALESCE(c.n, CAST(0 AS BIGINT)) AS triangles
-FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS n FROM corners GROUP BY vid) c
-ON v.vid = c.vid""",
         "local_clustering": tri_base
         + """
 , corners AS (SELECT x AS vid FROM t UNION ALL SELECT y FROM t
@@ -2022,7 +2069,13 @@ SELECT v.vid, COALESCE(g.outdeg, CAST(0 AS BIGINT)) AS out_deg
 FROM verts v
 LEFT JOIN (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src) g
 ON v.vid = g.vid""",
-        "degree_histogram": f"""WITH {_EDGES},
+        # consolidated r5: the four graphstats kernels melted to
+        # (stat, key, value), one hard gate — the run_kernel `stats`
+        # kernel shape. Each leg is the former standalone oracle as a
+        # CTE-in-subquery (DuckDB supports WITH in derived tables).
+        "graph_profile": f"""SELECT 'degree_histogram' AS stat,
+       CAST(bucket AS VARCHAR) AS key, CAST(n_vertices AS DOUBLE) AS value
+FROM (WITH {_EDGES},
 deg AS MATERIALIZED (
     SELECT v.vid, COALESCE(g.outdeg, CAST(0 AS BIGINT)) AS out_deg
     FROM verts v LEFT JOIN
@@ -2031,32 +2084,55 @@ deg AS MATERIALIZED (
 )
 SELECT CAST(LENGTH(bin(out_deg + 1)) - 1 AS BIGINT) AS bucket,
        COUNT(*) AS n_vertices
-FROM deg GROUP BY bucket""",
-        "powerlaw_alpha": f"""WITH {_EDGES},
-deg AS MATERIALIZED (
-    SELECT src AS vid, COUNT(*) AS out_deg FROM edges GROUP BY src
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
-       ROUND(1.0 + COUNT(*) / SUM(LN(out_deg / 1.5)), 6) AS alpha
-FROM deg WHERE out_deg >= 2""",
-        "reciprocity": f"""WITH {_EDGES},
+FROM deg GROUP BY bucket)
+UNION ALL
+SELECT 'reciprocity', k, v
+FROM (WITH {_EDGES},
 r AS MATERIALIZED (
     SELECT COUNT(*) AS n FROM edges e
     WHERE EXISTS (SELECT 1 FROM edges x
                   WHERE x.src = e.dst AND x.dst = e.src)
 ),
 t AS MATERIALIZED (SELECT COUNT(*) AS n FROM edges)
-SELECT t.n AS n_edges, r.n AS n_reciprocal,
-       ROUND(CAST(r.n AS DOUBLE) / t.n, 6) AS reciprocity
-FROM t CROSS JOIN r""",
-        "one_hop_min": f"""WITH {_EDGES}
-SELECT src AS vid, MIN(dst) AS min_nbr FROM edges GROUP BY src""",
+SELECT u.k, u.v FROM t CROSS JOIN r CROSS JOIN LATERAL (
+    SELECT 'n_edges' AS k, CAST(t.n AS DOUBLE) AS v
+    UNION ALL SELECT 'n_reciprocal', CAST(r.n AS DOUBLE)
+    UNION ALL SELECT 'ratio', ROUND(CAST(r.n AS DOUBLE) / t.n, 6)
+) u)
+UNION ALL
+SELECT 'powerlaw', k, v
+FROM (WITH {_EDGES},
+deg AS MATERIALIZED (
+    SELECT src AS vid, COUNT(*) AS out_deg FROM edges GROUP BY src
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             ROUND(1.0 + COUNT(*) / SUM(LN(out_deg / 1.5)), 6) AS alpha
+      FROM deg WHERE out_deg >= 2)
+SELECT u.k, u.v FROM s CROSS JOIN LATERAL (
+    SELECT 'n_tail' AS k, CAST(s.n_tail AS DOUBLE) AS v
+    UNION ALL SELECT 'alpha', CAST(s.alpha AS DOUBLE)
+) u)
+UNION ALL
+SELECT 'assortativity', k, v
+FROM (WITH a0 AS ({_assortativity_sql()})
+SELECT u.k, u.v FROM a0 CROSS JOIN LATERAL (
+    SELECT 'n_ends' AS k, CAST(a0.n_ends AS DOUBLE) AS v
+    UNION ALL SELECT 'pearson_r', CAST(a0.assortativity AS DOUBLE)
+) u)""",
+        # consolidated r5: one-hop WriteMin joined into the two-hop gate
         "two_hop_stats": f"""WITH {_EDGES},
 mid_stats AS MATERIALIZED (
     SELECT src AS mid, MIN(dst) AS mn, MAX(dst) AS mx FROM edges GROUP BY src
+),
+th AS MATERIALIZED (
+    SELECT e1.src AS vid, MIN(m.mn) AS min_two_hop, MAX(m.mx) AS max_two_hop
+    FROM edges e1 JOIN mid_stats m ON e1.dst = m.mid GROUP BY e1.src
+),
+oh AS MATERIALIZED (
+    SELECT src AS vid, MIN(dst) AS min_nbr FROM edges GROUP BY src
 )
-SELECT e1.src AS vid, MIN(m.mn) AS min_two_hop, MAX(m.mx) AS max_two_hop
-FROM edges e1 JOIN mid_stats m ON e1.dst = m.mid GROUP BY e1.src""",
+SELECT th.vid, th.min_two_hop, th.max_two_hop, oh.min_nbr
+FROM th JOIN oh ON th.vid = oh.vid""",
         "sssp": _sssp_sql(),
         "khop_risk": f"""WITH {_EDGES},
 sv AS (SELECT vid, CASE WHEN vid % 17 = 0 THEN 1 ELSE 0 END AS seed FROM verts),
@@ -2086,39 +2162,45 @@ FROM documents GROUP BY MD5(text)""",
        CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
             AS BIGINT) AS n_wordpieces
 FROM documents""",
-        "lang_stats": """SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents GROUP BY lang""",
+        # consolidated r5: grouped by the DETECTED language — one gate
+        # value-hashes the stopword language-ID kernel + the corpus agg
+        "lang_stats": f"""SELECT p.pred_lang, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM ({_langid_sql()}) p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY p.pred_lang""",
         "minhash_lsh_pairs": _MINHASH_CTES
         + """
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM buckets l JOIN buckets r ON l.band = r.band AND l.bkey = r.bkey
 WHERE l.doc_id < r.doc_id""",
-        "ngram_jaccard": _MINHASH_CTES
-        + r"""
-, pairs AS MATERIALIZED (
-    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM buckets l JOIN buckets r ON l.band = r.band AND l.bkey = r.bkey
-    WHERE l.doc_id < r.doc_id
+        # simhash + winnowing (MOSS) fingerprints, consolidated r5
+        # under ONE `fingerprints` gate: each leg is the former
+        # standalone oracle as a CTE-in-subquery, unioned with a kind
+        # column matching the Spark side. Winnow: per-window min of
+        # k-gram int60 hashes, window starts clamped exactly like
+        # kernels/textops.py.
+        "fingerprints": "SELECT doc_id, 'simhash' AS kind, simhash AS fp"
+        " FROM (" + r"""WITH toks AS MATERIALIZED (
+    SELECT doc_id,
+           UNNEST(list_distinct(regexp_extract_all(text, '\S+'))) AS tok
+    FROM documents
 ),
-sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS MATERIALIZED (
-    SELECT p.a, p.b, COUNT(*) AS i
-    FROM pairs p
-    JOIN sh sa ON sa.doc_id = p.a
-    JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
-    GROUP BY p.a, p.b
+th AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+    FROM toks
+),
+votes AS MATERIALIZED (
+    SELECT doc_id, u.j, SUM(2 * ((h >> u.j) & 1) - 1) AS s
+    FROM th, UNNEST(generate_series(0, 31)) AS u(j)
+    GROUP BY doc_id, u.j
 )
-SELECT p.a, p.b,
-       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
-             / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) AS jaccard
-FROM pairs p
-LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
-JOIN sizes za ON za.doc_id = p.a
-JOIN sizes zb ON zb.doc_id = p.b""",
-        # winnowing (MOSS): per-window min of k-gram int60 hashes,
-        # window starts clamped exactly like kernels/textops.py
-        "winnow_fingerprints": r"""WITH toks AS MATERIALIZED (
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id"""
+        + ")\nUNION ALL\nSELECT doc_id, 'winnow', fp FROM ("
+        + r"""WITH toks AS MATERIALIZED (
     SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
 ),
 g AS MATERIALIZED (
@@ -2144,26 +2226,7 @@ rep AS MATERIALIZED (
 sel AS MATERIALIZED (
     SELECT doc_id, w, MIN(h) AS fp FROM rep GROUP BY doc_id, w
 )
-SELECT DISTINCT doc_id, fp FROM sel""",
-        "simhash": r"""WITH toks AS MATERIALIZED (
-    SELECT doc_id,
-           UNNEST(list_distinct(regexp_extract_all(text, '\S+'))) AS tok
-    FROM documents
-),
-th AS MATERIALIZED (
-    SELECT doc_id,
-           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-    FROM toks
-),
-votes AS MATERIALIZED (
-    SELECT doc_id, u.j, SUM(2 * ((h >> u.j) & 1) - 1) AS s
-    FROM th, UNNEST(generate_series(0, 31)) AS u(j)
-    GROUP BY doc_id, u.j
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id""",
+SELECT DISTINCT doc_id, fp FROM sel""" + ")",
         "embedding_topk": r"""WITH nrm AS MATERIALIZED (
     SELECT vec_id, embedding,
            SQRT(list_aggregate(list_transform(list_zip(embedding, embedding),

@@ -55,8 +55,20 @@ def boruvka_msf(
     metrics_out: dict | None = None,
     run_id: str | None = None,
     resume: bool = False,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
-    """Returns the spanning-forest edges (a, b) with a < b.
+    """Returns the spanning-forest edges (a, b) with a < b — plus a
+    ``w`` column when real ``weights`` are given.
+
+    ``weights``: optional (src, dst, w) edge weights (direction
+    ignored; duplicate/reciprocal rows collapse to the MIN weight, and
+    every undirected edge of the graph must be covered — fail-loud
+    otherwise). FindMinEdge then minimizes the TOTAL ORDER
+    (w, a, b) — weight first, lexicographic edge as the deterministic
+    tie-break. Any strict total order yields a UNIQUE msf, so the
+    result equals weighted Kruskal's under the same order (pytest) and
+    the unrolled-Boruvka SQL oracle's. Default (weights=None) keeps
+    the reference's vid-pair weight proxy (mst_app.cpp:88-99).
 
     ``metrics_out`` (optional dict) receives ``rounds``, ``jumps`` (total
     pointer-doubling jobs across all rounds) and ``picked_per_round`` —
@@ -73,7 +85,28 @@ def boruvka_msf(
     spark = graph.spark
     parts = config.partitions_for(spark)
 
-    und = graph.undirected_edges().repartition(parts, "a").persist()
+    und = graph.undirected_edges()
+    if weights is not None:
+        wn = (
+            weights.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.min("w").alias("w"))
+        )
+        und = und.join(wn, ["a", "b"], "left")
+    und = und.repartition(parts, "a").persist()
+    if weights is not None:
+        # coverage check rides one tiny bounded job (once per run, not
+        # per round): an uncovered edge would silently sort as NULL
+        if und.where(F.col("w").isNull()).limit(1).count() > 0:
+            und.unpersist()
+            raise ValueError(
+                "boruvka_msf: weights do not cover every undirected "
+                "edge of the graph (found an edge with NULL weight)"
+            )
     labels = releaf(
         graph.vertices.select(
             "vid", F.col("vid").alias("label")
@@ -102,11 +135,19 @@ def boruvka_msf(
             und.join(la, "a").join(lb, "b")
             .where(F.col("ca") != F.col("cb"))
         )
-        # FindMinEdge per component: min (a, b) struct incident to it,
-        # seen from both endpoints' components. ca/cb are functionally
-        # determined by (a, b) within a round, so carrying them in the
-        # struct changes neither the min nor the distinct.
-        e_struct = F.struct("a", "b", "ca", "cb").alias("e")
+        # FindMinEdge per component: min (a, b) struct incident to it
+        # — (w, a, b) when real weights ride along — seen from both
+        # endpoints' components. ca/cb are functionally determined by
+        # (a, b) within a round, so carrying them in the struct changes
+        # neither the min nor the distinct.
+        if weights is not None:
+            e_struct = F.struct("w", "a", "b", "ca", "cb").alias("e")
+            pick_cols = ["e.a", "e.b", "e.w", "e.ca", "e.cb"]
+            edge_cols = ["a", "b", "w"]
+        else:
+            e_struct = F.struct("a", "b", "ca", "cb").alias("e")
+            pick_cols = ["e.a", "e.b", "e.ca", "e.cb"]
+            edge_cols = ["a", "b"]
         incident = live.select(F.col("ca").alias("comp"), e_struct).unionAll(
             live.select(F.col("cb").alias("comp"), e_struct)
         )
@@ -114,7 +155,7 @@ def boruvka_msf(
         picked = releaf(
             incident.groupBy("comp")
             .agg(F.min("e").alias("e"))
-            .select("e.a", "e.b", "e.ca", "e.cb")
+            .select(*pick_cols)
             .distinct()
             .observe(obs_pick, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
@@ -124,7 +165,7 @@ def boruvka_msf(
             break
         rounds += 1
         picked_per_round.append(n_picked)
-        forest_parts.append(picked.select("a", "b"))
+        forest_parts.append(picked.select(*edge_cols))
         # Graft: across picked edges, both endpoints' components adopt
         # the min of the two labels (labels ride in the picked rows).
         hooks = picked.select(
@@ -196,7 +237,11 @@ def boruvka_msf(
         metrics_out["jumps"] = total_jumps
         metrics_out["picked_per_round"] = picked_per_round
     if not forest_parts:
-        return spark.createDataFrame([], schema="a long, b long")
+        schema = (
+            "a long, b long, w long" if weights is not None
+            else "a long, b long"
+        )
+        return spark.createDataFrame([], schema=schema)
     out = forest_parts[0]
     for part in forest_parts[1:]:
         out = out.unionAll(part)

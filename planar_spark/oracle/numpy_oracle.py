@@ -233,6 +233,35 @@ def oracle_msf(edges: np.ndarray) -> set[tuple[int, int]]:
     return out
 
 
+def oracle_msf_weighted(
+    edges: np.ndarray, weight_fn
+) -> set[tuple[int, int, int]]:
+    """Kruskal under the strict total order (w, a, b) — any strict
+    total order yields a unique MSF, so this matches the engine's
+    weighted Boruvka even when raw weights tie. ``weight_fn(a, b)``
+    gives the weight of canonical undirected edge a < b."""
+    und = np.unique(np.sort(_dedupe(edges), axis=1), axis=0)
+    rows = sorted(
+        (int(weight_fn(int(a), int(b))), int(a), int(b)) for a, b in und
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out: set[tuple[int, int, int]] = set()
+    for w, a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.add((a, b, w))
+    return out
+
+
 def oracle_coloring(edges: np.ndarray, num_vertices: int) -> np.ndarray:
     """Round-exact simulation of the engine's deterministic Luby-style
     speculative coloring (kernels/coloring.py): per round every

@@ -40,6 +40,36 @@ def test_boruvka_msf_exact(spark, config, name, edges, n):
     assert got == want
 
 
+@pytest.mark.parametrize("name,edges,n", MST_CASES, ids=[c[0] for c in MST_CASES])
+def test_boruvka_msf_weighted_vs_kruskal(spark, config, name, edges, n):
+    """Real weights with HEAVY TIES ((a+b)%3+1): the (w, a, b) total
+    order still makes the forest unique, so weighted Boruvka must equal
+    weighted Kruskal edge-for-edge, weights included."""
+    from planar_spark.oracle.numpy_oracle import oracle_msf_weighted
+
+    g = graph_from_numpy(spark, edges, n)
+    wfn = lambda a, b: (a + b) % 3 + 1  # noqa: E731
+    und = g.undirected_edges()
+    wdf = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        ((F.col("a") + F.col("b")) % 3 + 1).alias("w"),
+    )
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in boruvka_msf(g, config, weights=wdf).collect()
+    }
+    assert got == oracle_msf_weighted(edges, wfn)
+
+
+def test_boruvka_msf_weighted_uncovered_edge_raises(spark, config):
+    g = graph_from_numpy(spark, edges_ring(10), 10)
+    partial = g.undirected_edges().where(F.col("a") > 2).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1).alias("w")
+    )
+    with pytest.raises(ValueError, match="cover every undirected edge"):
+        boruvka_msf(g, config, weights=partial)
+
+
 COLOR_CASES = [
     ("simple4", edges_simple4(), 4),
     ("ring", edges_ring(20), 20),

@@ -115,39 +115,75 @@ def triad_census(graph: GraphTables, config=None) -> DataFrame:
     with reciprocated edges contributes several).
 
     Scale shape: never enumerates raw directed wedges (Σ in(b)·out(b)
-    explodes on hubs). Instead the UNDIRECTED triangles come from the
+    explodes on hubs). The UNDIRECTED triangles come from the
     degree-oriented two-join (kernels/triangles.py — wedge work bounded
-    O(E^1.5)), then each triangle fetches its six direction flags with
-    equi-joins against the directed edge set and one closed-form
-    integer expression counts both pattern families per triangle.
+    O(E^1.5)); the directed edge set is pre-aggregated ONCE into an
+    undirected-pair flag table (lo, hi, f_fwd, f_bwd) — both direction
+    flags of a pair in one row — so each triangle fetches all six
+    direction flags with THREE equi-joins (one per triangle edge;
+    r4's form burned six). Every triangle edge is an undirected edge,
+    so the joins are inner and flag columns are never null. One
+    closed-form integer expression then counts both pattern families
+    per triangle.
     """
     from planar_spark.config import EngineConfig
     from planar_spark.kernels.triangles import _closed_wedges
 
     config = config or EngineConfig()
-    tri = _closed_wedges(graph, config)  # (a, b, c): each und. triangle once
+    tri = _closed_wedges(graph, config)  # (a, b, c), a < b < c, once each
     e = graph.edges.select("src", "dst").distinct()
-
-    def flag(frm, to, name):
-        d = e.select(
-            F.col("src").alias(f"_f{name}"), F.col("dst").alias(f"_t{name}"),
-            F.lit(1).alias(name),
+    # (lo, hi, f_fwd, f_bwd): f_fwd = lo->hi exists, f_bwd = hi->lo.
+    # max() folds a reciprocal pair's two rows into one.
+    pairs = (
+        e.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            (F.col("src") < F.col("dst")).cast("int").alias("fwd"),
+            (F.col("src") > F.col("dst")).cast("int").alias("bwd"),
         )
+        .groupBy("lo", "hi")
+        .agg(F.max("fwd").alias("f_fwd"), F.max("bwd").alias("f_bwd"))
+    )
+
+    def attach(df, x, y, fwd_name, bwd_name):
+        # triangle corners are DEGREE-ordered (the orientation that
+        # bounds wedge work), not vid-ordered — so key the pair lookup
+        # on (least, greatest) of the corner vids and swap the flags
+        # back according to the actual corner order
+        p = pairs.select(
+            F.col("lo").alias(f"_lo_{fwd_name}"),
+            F.col("hi").alias(f"_hi_{fwd_name}"),
+            F.col("f_fwd").alias(f"_ff_{fwd_name}"),
+            F.col("f_bwd").alias(f"_fb_{fwd_name}"),
+        )
+        cond = (F.least(df[x], df[y]) == p[f"_lo_{fwd_name}"]) & (
+            F.greatest(df[x], df[y]) == p[f"_hi_{fwd_name}"]
+        )
+        xy_is_lohi = df[x] < df[y]
         return (
-            lambda df: df.join(
-                d,
-                (df[frm] == d[f"_f{name}"]) & (df[to] == d[f"_t{name}"]),
-                "left",
-            ).drop(f"_f{name}", f"_t{name}")
+            df.join(p, cond)
+            .withColumn(
+                fwd_name,
+                F.when(xy_is_lohi, F.col(f"_ff_{fwd_name}")).otherwise(
+                    F.col(f"_fb_{fwd_name}")
+                ),
+            )
+            .withColumn(
+                bwd_name,
+                F.when(xy_is_lohi, F.col(f"_fb_{fwd_name}")).otherwise(
+                    F.col(f"_ff_{fwd_name}")
+                ),
+            )
+            .drop(
+                f"_lo_{fwd_name}", f"_hi_{fwd_name}",
+                f"_ff_{fwd_name}", f"_fb_{fwd_name}",
+            )
         )
 
-    for frm, to, name in [
-        ("a", "b", "f_ab"), ("b", "a", "f_ba"),
-        ("a", "c", "f_ac"), ("c", "a", "f_ca"),
-        ("b", "c", "f_bc"), ("c", "b", "f_cb"),
-    ]:
-        tri = flag(frm, to, name)(tri)
-    z = lambda n: F.coalesce(F.col(n), F.lit(0))  # noqa: E731
+    tri = attach(tri, "a", "b", "f_ab", "f_ba")
+    tri = attach(tri, "a", "c", "f_ac", "f_ca")
+    tri = attach(tri, "b", "c", "f_bc", "f_cb")
+    z = F.col
     cyc = z("f_ab") * z("f_bc") * z("f_ca") + z("f_ba") * z("f_cb") * z("f_ac")
     trans = (
         z("f_ab") * z("f_bc") * z("f_ac")

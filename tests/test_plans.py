@@ -78,6 +78,24 @@ def test_two_hop_stats_no_wedge_materialization(spark, config):
     assert "Aggregate" in opt[join_at:], opt
 
 
+def test_triad_census_join_diet(spark, config):
+    """The direction flags must come from ONE pre-aggregated
+    undirected-pair table joined three times (once per triangle edge),
+    not six per-flag joins: optimized plan = 2 triangle-build joins +
+    3 flag joins = 5 total."""
+    from planar_spark.kernels.graphstats import triad_census
+
+    edges = edges_powerlaw(120, m=2, seed=5)
+    g = graph_from_numpy(spark, edges, 120)
+    out = triad_census(g, config)
+    out.collect()
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # count LOGICAL join nodes ("Join Inner ...") — InMemoryRelation
+    # blocks embed cached PHYSICAL plans whose BroadcastHashJoin lines
+    # would inflate a bare "Join " count
+    assert opt.count("Join Inner") <= 5, opt
+
+
 def test_lpa_and_random_walk_have_no_window(spark, config):
     """Hot paths must use partial-agg-able struct argmin/argmax, never a
     per-vertex window sort (a hub's neighbor multiset would land in one

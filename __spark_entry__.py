@@ -44,6 +44,7 @@ from planar_spark.kernels.neighborhood import (
     WALK_H_B,
     WALK_H_C,
     WALK_H_D,
+    WALK_H_E,
     WALK_H_MOD,
     khop_risk,
     one_hop_min,
@@ -72,6 +73,7 @@ LPA_ROUNDS = 3
 WCC_ORACLE_ROUNDS = 16   # >= max undirected eccentricity (measured: 15)
 SSSP_ORACLE_ROUNDS = 12  # >= directed eccentricity from min vid (measured: 8)
 WALK_STEPS = 4
+N2V_WALKS = 3            # walks per start in the node2vec corpus gate
 INF = 1_000_000_000
 
 
@@ -1115,24 +1117,28 @@ FROM fl"""
 
 
 def _node2vec_sql(w_return: int = 1, w_common: int = 2, w_far: int = 1) -> str:
-    """Unrolled deterministic node2vec walk: per step, candidate
-    transition weights (return / distance-1 / far vs the PREVIOUS
-    vertex), integer-replicated candidates, and the same mixing-hash
-    argmin as the Spark kernel (ORDER BY h, dst, rep == the struct-min
-    field order)."""
+    """Unrolled deterministic node2vec walk corpus: N2V_WALKS walks per
+    start (walk_id folded into the mixing hash, term walk_id*WALK_H_E),
+    per step candidate transition weights (return / distance-1 / far vs
+    the PREVIOUS vertex), integer-replicated candidates, and the same
+    mixing-hash argmin as the Spark kernel (ORDER BY h, dst, rep ==
+    the struct-min field order, per (start, walk_id))."""
     parts = [
         f"WITH {_EDGES},",
         "u2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,"
         " GREATEST(src, dst) AS b FROM edges),",
         "adj AS MATERIALIZED (SELECT a AS p, b AS d FROM u2"
         " UNION ALL SELECT b AS p, a AS d FROM u2),",
-        "w0 AS MATERIALIZED (SELECT vid AS start, vid AS prev, vid AS cur"
-        " FROM verts WHERE vid % 31 = 0)",
+        "w0 AS MATERIALIZED (SELECT vid AS start,"
+        " CAST(u.wk AS BIGINT) AS wk, vid AS prev, vid AS cur"
+        f" FROM verts, UNNEST(generate_series(0, {N2V_WALKS - 1})) AS u(wk)"
+        " WHERE vid % 31 = 0)",
     ]
     for k in range(1, WALK_STEPS + 1):
         p = k - 1
         parts.append(
-            f", c{k} AS MATERIALIZED (SELECT w.start, w.prev, w.cur, e.dst,"
+            f", c{k} AS MATERIALIZED (SELECT w.start, w.wk, w.prev, w.cur,"
+            f" e.dst,"
             f" CASE WHEN e.dst IS NULL THEN 1"
             f" WHEN e.dst = w.prev THEN {w_return}"
             f" WHEN EXISTS (SELECT 1 FROM adj"
@@ -1141,23 +1147,26 @@ def _node2vec_sql(w_return: int = 1, w_common: int = 2, w_far: int = 1) -> str:
             f" FROM w{p} w LEFT JOIN edges e ON w.cur = e.src)"
         )
         parts.append(
-            f", r{k} AS MATERIALIZED (SELECT start, prev, cur, dst,"
+            f", r{k} AS MATERIALIZED (SELECT start, wk, prev, cur, dst,"
             f" CAST(u.rep AS BIGINT) AS rep"
             f" FROM c{k}, UNNEST(generate_series(0, wt - 1)) AS u(rep))"
         )
         parts.append(
-            f", s{k} AS MATERIALIZED (SELECT start, prev, cur, dst,"
-            f" ROW_NUMBER() OVER (PARTITION BY start ORDER BY"
+            f", s{k} AS MATERIALIZED (SELECT start, wk, prev, cur, dst,"
+            f" ROW_NUMBER() OVER (PARTITION BY start, wk ORDER BY"
             f" ((cur * {WALK_H_A} + COALESCE(dst, 0) * {WALK_H_B}"
-            f" + {k} * {WALK_H_C} + rep * {WALK_H_D}) % {WALK_H_MOD}) ASC,"
+            f" + {k} * {WALK_H_C} + rep * {WALK_H_D}"
+            f" + wk * {WALK_H_E}) % {WALK_H_MOD}) ASC,"
             f" dst ASC, rep ASC) AS rn FROM r{k})"
         )
         parts.append(
-            f", w{k} AS MATERIALIZED (SELECT start,"
+            f", w{k} AS MATERIALIZED (SELECT start, wk,"
             f" CASE WHEN dst IS NULL THEN prev ELSE cur END AS prev,"
             f" COALESCE(dst, cur) AS cur FROM s{k} WHERE rn = 1)"
         )
-    parts.append(f"SELECT start, cur FROM w{WALK_STEPS}")
+    parts.append(
+        f"SELECT start, wk AS walk_id, cur FROM w{WALK_STEPS}"
+    )
     return "\n".join(parts)
 
 
@@ -1603,7 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from planar_spark.kernels.neighborhood import node2vec_walk
 
         return node2vec_walk(
-            _graph(spark, sf_dir), _cfg(), num_steps=WALK_STEPS
+            _graph(spark, sf_dir), _cfg(), num_steps=WALK_STEPS,
+            num_walks=N2V_WALKS,
         )
 
     def q_dict_encode(spark, sf_dir):

@@ -327,6 +327,16 @@ def main() -> None:
             "hyperball_centralities_r2_sec",
             lambda: hyperball_centralities(bg, 2, cfg, lg_config_k=10).count(),
         )
+        # node2vec training-corpus generation at scale: 4 biased walks
+        # per start (~33k starts in the 2^20-vid space at mod 31)
+        from planar_spark.kernels.neighborhood import node2vec_walk
+
+        timed_big(
+            "node2vec_corpus_sec",
+            lambda: node2vec_walk(
+                bg, cfg, num_steps=4, start_mod=31, num_walks=4
+            ).count(),
+        )
         try:
             est = hyperball(bg, 1, cfg, lg_config_k=10)
             # exact 1-hop ball from the VERTEX table (left join) so

@@ -31,6 +31,7 @@ from planar_spark.graph.tables import GraphTables
 # DuckDB oracle (all terms < 2^40 for vid spaces < ~2^20, no overflow)
 WALK_H_A, WALK_H_B, WALK_H_C, WALK_H_MOD = 131071, 8191, 524287, 1000003
 WALK_H_D = 97003  # replica-index term for the biased (node2vec) walk
+WALK_H_E = 337411  # walk-id term: decorrelates the walks of one start
 
 
 def one_hop_min(graph: GraphTables) -> DataFrame:
@@ -148,14 +149,24 @@ def node2vec_walk(
     w_return: int = 1,
     w_common: int = 2,
     w_far: int = 1,
+    num_walks: int = 1,
 ) -> DataFrame:
-    """(start, cur): end vertex of a deterministic SECOND-ORDER biased
-    walk (node2vec, Grover-Leskovec) — the standard corpus generator
-    for graph-embedding training data. Transition weight from (prev,
-    cur) to candidate dst: ``w_return`` if dst == prev (the 1/p return
-    term), ``w_common`` if dst is und-adjacent to prev (distance-1
-    term), else ``w_far`` (the 1/q term); the defaults encode
-    p = q = 2 scaled to integers.
+    """(start, walk_id, cur): end vertex of each of ``num_walks``
+    deterministic SECOND-ORDER biased walks per start (node2vec,
+    Grover-Leskovec) — the standard corpus generator for
+    graph-embedding training data, which wants MANY walks per start
+    vertex, not one. Transition weight from (prev, cur) to candidate
+    dst: ``w_return`` if dst == prev (the 1/p return term),
+    ``w_common`` if dst is und-adjacent to prev (distance-1 term),
+    else ``w_far`` (the 1/q term); the defaults encode p = q = 2
+    scaled to integers.
+
+    The walk_id folds into the mixing hash (term walk_id·WALK_H_E), so
+    the walks of one start diverge deterministically; walk_id 0
+    reproduces the single-walk output bit-for-bit (its hash term is
+    zero). Row count scales LINEARLY in num_walks — the per-step plan
+    is the same join + struct-min agg, now keyed (start, walk_id), so
+    partial aggregation and the no-window property are unchanged.
 
     Deterministic weighted sampling WITHOUT floats: each candidate is
     replicated ``weight`` times (weights are small integers, so the
@@ -176,6 +187,9 @@ def node2vec_walk(
     )
     walks = graph.vertices.where(F.col("vid") % start_mod == 0).select(
         F.col("vid").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(num_walks) - 1))
+        ).alias("walk_id"),
         F.col("vid").alias("prev"),
         F.col("vid").alias("cur"),
     )
@@ -193,15 +207,16 @@ def node2vec_walk(
         rep = F.explode(
             F.sequence(F.lit(0), (wt - 1).cast("int"))
         ).alias("rep")
-        r = cand.select("start", "prev", "cur", "dst", rep)
+        r = cand.select("start", "walk_id", "prev", "cur", "dst", rep)
         h = (
             F.col("cur") * WALK_H_A
             + F.coalesce(F.col("dst"), F.lit(0)) * WALK_H_B
             + F.lit(k) * WALK_H_C
             + F.col("rep") * WALK_H_D
+            + F.col("walk_id") * WALK_H_E
         ) % WALK_H_MOD
         walks = (
-            r.groupBy("start")
+            r.groupBy("start", "walk_id")
             .agg(
                 F.min(
                     F.struct(
@@ -215,10 +230,11 @@ def node2vec_walk(
             )
             .select(
                 "start",
+                "walk_id",
                 F.when(F.col("m.dst").isNull(), F.col("m.prev"))
                 .otherwise(F.col("m.cur"))
                 .alias("prev"),
                 F.coalesce("m.dst", F.col("m.cur")).alias("cur"),
             )
         )
-    return walks.select("start", "cur")
+    return walks.select("start", "walk_id", "cur")

@@ -89,6 +89,7 @@ def test_node2vec_walk_matches_python_reference(spark):
         WALK_H_B,
         WALK_H_C,
         WALK_H_D,
+        WALK_H_E,
         WALK_H_MOD,
         node2vec_walk,
         random_walk,
@@ -96,14 +97,18 @@ def test_node2vec_walk_matches_python_reference(spark):
     from planar_spark.ingest.pages import edges_powerlaw
     from tests.conftest import graph_from_numpy
 
-    n, steps, mod = 250, 4, 7
+    n, steps, mod, n_walks = 250, 4, 7, 3
     edges = edges_powerlaw(n, m=3, seed=41)
     g = graph_from_numpy(spark, edges, n)
     cfg = EngineConfig(num_partitions=8)
     got = {
-        r["start"]: r["cur"]
-        for r in node2vec_walk(g, cfg, num_steps=steps, start_mod=mod).collect()
+        (r["start"], r["walk_id"]): r["cur"]
+        for r in node2vec_walk(
+            g, cfg, num_steps=steps, start_mod=mod, num_walks=n_walks
+        ).collect()
     }
+    # linear row scaling: exactly num_walks rows per start
+    assert len(got) == n_walks * len({s for s in range(0, n, mod)})
 
     out: dict[int, list[int]] = {}
     und: set[tuple[int, int]] = set()
@@ -120,7 +125,7 @@ def test_node2vec_walk_matches_python_reference(spark):
     for lst in out.values():
         lst.sort()
 
-    def sim(start):
+    def sim(start, wid):
         prev, cur = start, start
         for k in range(1, steps + 1):
             cands = out.get(cur, [])
@@ -138,6 +143,7 @@ def test_node2vec_walk_matches_python_reference(spark):
                     h = (
                         cur * WALK_H_A + dst * WALK_H_B
                         + k * WALK_H_C + rep * WALK_H_D
+                        + wid * WALK_H_E
                     ) % WALK_H_MOD
                     key = (h, dst, rep)
                     if best is None or key < best:
@@ -146,7 +152,14 @@ def test_node2vec_walk_matches_python_reference(spark):
         return cur
 
     for start in range(0, n, mod):
-        assert got[start] == sim(start), start
+        for wid in range(n_walks):
+            assert got[(start, wid)] == sim(start, wid), (start, wid)
+    # the walks of one start actually diverge somewhere in the corpus
+    assert any(
+        got[(s, 0)] != got[(s, w)]
+        for s in range(0, n, mod)
+        for w in range(1, n_walks)
+    )
     # bias effectiveness: on a triangle-dense graph (two 12-cliques)
     # every candidate is distance-1 from prev (weight 2), so the extra
     # replicas change at least one deterministic choice vs uniform

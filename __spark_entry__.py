@@ -74,6 +74,8 @@ WCC_ORACLE_ROUNDS = 16   # >= max undirected eccentricity (measured: 15)
 SSSP_ORACLE_ROUNDS = 12  # >= directed eccentricity from min vid (measured: 8)
 WALK_STEPS = 4
 N2V_WALKS = 3            # walks per start in the node2vec corpus gate
+STREAM_TS_STEP = 13      # event-time stride: 500 docs -> ~11 ten-minute
+                         # windows, well inside the 4h watermark
 INF = 1_000_000_000
 
 
@@ -1832,13 +1834,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a deterministic pages table from the documents (each page links
         to two hash-derived doc urls), deliver it in TWO batches through
         the exactly-once Structured Streaming edge-ingestion path
-        (Trigger.AvailableNow + checkpoint + file-sink commit log), and
-        return the accumulated edge table. If the second run re-ingested
-        batch 1 (exactly-once broken), every even-doc edge would appear
-        twice and the value-hash vs the batch-SQL oracle would fail."""
+        (Trigger.AvailableNow + checkpoint + file-sink commit log), AND
+        (r5) through the watermarked update-mode window aggregation.
+        Batch 2's odd doc_ids interleave batch 1's even ones in event
+        time, so nearly all of batch 2 arrives LATE (behind the max
+        event time the checkpointed watermark tracks, within the 4h
+        delay) — the window counts the gate returns are only correct
+        if late data re-emits corrected windows. Failure modes caught
+        by the value hash: broken exactly-once -> even-doc edges appear
+        twice; dropped/uncorrected late data -> window counts reflect
+        only even docs while the batch-SQL oracle counts all."""
         import tempfile
 
-        from planar_spark.streaming.ingest_stream import run_edge_ingestion
+        from planar_spark.streaming.ingest_stream import (
+            run_edge_ingestion,
+            run_windowed_counts,
+            windowed_counts_latest,
+        )
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id"
@@ -1860,7 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return docs.where(F.col("doc_id") % 2 == parity).select(
                 url(F.col("doc_id")).alias("url"),
                 F.timestamp_seconds(
-                    F.lit(1700000000) + F.col("doc_id")
+                    F.lit(1700000000) + F.col("doc_id") * STREAM_TS_STEP
                 ).alias("warc_ts"),
                 F.encode(html, "UTF-8").alias("html"),
                 F.lit("").alias("text"),
@@ -1868,14 +1880,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         base = tempfile.mkdtemp(prefix="planar_stream_gate_")
-        in_dir, out_dir, ckpt = (
+        in_dir, out_dir, ckpt, wout, wckpt = (
             f"{base}/pages", f"{base}/edges", f"{base}/ckpt",
+            f"{base}/wins", f"{base}/wckpt",
         )
         pages(0).write.mode("append").parquet(in_dir)
         run_edge_ingestion(spark, in_dir, out_dir, ckpt)
+        run_windowed_counts(spark, in_dir, wout, wckpt)
         pages(1).write.mode("append").parquet(in_dir)
         run_edge_ingestion(spark, in_dir, out_dir, ckpt)
-        return spark.read.parquet(out_dir).select("src_url", "dst_url")
+        run_windowed_counts(spark, in_dir, wout, wckpt)
+        edges = spark.read.parquet(out_dir).select(
+            F.lit("edge").alias("kind"),
+            F.col("src_url").alias("k"),
+            F.col("dst_url").alias("v"),
+        )
+        wins = windowed_counts_latest(spark, wout).select(
+            F.lit("window").alias("kind"),
+            F.col("window_start").cast("string").alias("k"),
+            F.col("n_pages").cast("string").alias("v"),
+        )
+        return edges.unionAll(wins)
 
     def q_gnn_forward(spark, sf_dir):
         from planar_spark.kernels.gnn import gnn_forward
@@ -1977,19 +2002,31 @@ def oracle_sql() -> dict[str, str]:
         "ppr": _ppr_sql(),
         "hits": _hits_sql(),
         "gnn_forward": _gnn_sql(),
-        # batch derivation of the stream-produced edge table: page of
-        # doc d links to docs (7d+1)%499 and (13d+2)%499 (see
-        # q_stream_edges) — UNION ALL keeps the rare hash-collision
-        # duplicate pair, exactly like the two exploded hrefs
-        "stream_edges": """WITH d AS (SELECT doc_id FROM documents)
-SELECT 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+        # batch derivation of the stream-produced table: page of doc d
+        # links to docs (7d+1)%499 and (13d+2)%499 (see q_stream_edges)
+        # — UNION ALL keeps the rare hash-collision duplicate pair,
+        # exactly like the two exploded hrefs — plus (r5) the
+        # late-corrected 10-minute window counts over event time
+        # 1700000000 + 13*doc_id, counting ALL docs per window (the
+        # stream side only matches if late batch-2 rows corrected the
+        # already-emitted windows)
+        "stream_edges": f"""WITH d AS (SELECT doc_id FROM documents)
+SELECT 'edge' AS kind,
+       'https://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS k,
        'https://ex.org/doc/' || CAST((doc_id * 7 + 1) % 499 AS VARCHAR)
-       AS dst_url
+       AS v
 FROM d
 UNION ALL
-SELECT 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR),
+SELECT 'edge', 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR),
        'https://ex.org/doc/' || CAST((doc_id * 13 + 2) % 499 AS VARCHAR)
-FROM d""",
+FROM d
+UNION ALL
+SELECT 'window',
+       CAST((1700000000 + doc_id * {STREAM_TS_STEP}) // 600 * 600
+            AS VARCHAR),
+       CAST(COUNT(*) AS VARCHAR)
+FROM d
+GROUP BY (1700000000 + doc_id * {STREAM_TS_STEP}) // 600 * 600""",
         "coloring": _coloring_sql(),
         "msf": _msf_sql(),
         "msf_weighted": _msf_sql(weighted=True),

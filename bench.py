@@ -114,6 +114,24 @@ def big_bench_graph(spark, sf_dir: str, parts: int) -> GraphTables:
     return GraphTables.from_edges(e, num_partitions=parts)
 
 
+def mem_probe() -> float:
+    """Host-mode fingerprint: this host's memory performance is bimodal
+    run-to-run (documented in BASELINE.md), so every suite run records
+    the wall time of a fixed ~256 MB streaming pass. The probe time
+    classifies which memory mode the run landed in, letting
+    round-over-round deltas be compared like-with-like instead of
+    reading a mode flip as a regression."""
+    import numpy as np
+
+    a = np.ones(1 << 25, dtype=np.int64)  # 256 MB
+    t0 = time.time()
+    s = 0
+    for _ in range(3):
+        s += int((a + 1).sum())  # stream read+write+reduce
+    assert s > 0
+    return round(time.time() - t0, 3)
+
+
 def run_suite(g: GraphTables, cfg: EngineConfig) -> tuple[dict, int]:
     """One pass over the six headline kernels -> ({name: sec}, pr_steps)."""
     timings: dict[str, float] = {}
@@ -149,10 +167,15 @@ def main() -> None:
     g = bench_graph(spark, sf_dir, parts)  # from_edges counts = warm-up
 
     all_runs: list[dict[str, float]] = []
+    probes: list[float] = []
     pr_steps = PR_ITERS
     for _ in range(max(1, n_runs)):
+        probes.append(mem_probe())
         t, pr_steps = run_suite(g, cfg)
         all_runs.append(t)
+    # mode tag per run: >30% above the fastest probe = the slow mode
+    p_min = min(probes)
+    modes = ["slow" if p > 1.3 * p_min else "fast" for p in probes]
 
     names = list(all_runs[0])
     med = {
@@ -167,6 +190,7 @@ def main() -> None:
     # Data-pipeline + round-3 kernel extras: one run each; a failure is
     # recorded as its error string, never silently dropped.
     extras: dict[str, object] = {}
+    extras["probe_sec"] = mem_probe()
 
     def timed_extra(name, fn):
         t0 = time.time()
@@ -262,6 +286,7 @@ def main() -> None:
     # bound (~1.04/sqrt(2^lgK) ≈ 3.3% at lgK=10).
     big: dict[str, object] = {}
     try:
+        big["probe_sec"] = mem_probe()
         bg = big_bench_graph(spark, sf_dir, parts)
         t0 = time.time()
         bpr = pagerank(bg, cfg, num_iterations=PR_ITERS)
@@ -316,6 +341,16 @@ def main() -> None:
             lambda: k_core(bg, k=8, config=cfg, metrics_out=kc_m).count(),
         )
         big["kcore_rounds"] = kc_m.get("rounds")
+        # k-truss at 9.6M edges: measures the documented full-triangle-
+        # recompute-per-round trade beyond sf0.1 (VERDICT r4 #4) — the
+        # rounds row shows whether cost is re-enumeration (few rounds,
+        # high per-round sec) or cascade depth
+        kt_m: dict = {}
+        timed_big(
+            "ktruss_sec",
+            lambda: k_truss(bg, k=4, config=cfg, metrics_out=kt_m).count(),
+        )
+        big["ktruss_rounds"] = kt_m.get("rounds")
 
         timed_big(
             "hyperball_r2_sec",
@@ -401,6 +436,8 @@ def main() -> None:
         "queries": med,
         "queries_iqr": iqr,
         "runs": len(all_runs),
+        "run_probe_sec": probes,
+        "run_modes": modes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_vertices": g.num_vertices,
         "num_edges": g.num_edges,

@@ -64,6 +64,63 @@ def run_edge_ingestion(
     q.awaitTermination()
 
 
+def run_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "4 hours",
+) -> None:
+    """Late-data-corrected windowed page counts, durable across runs.
+
+    Update-mode watermarked window aggregation whose per-batch UPDATED
+    rows are appended to a parquet log via ``foreachBatch`` — the
+    standard Structured Streaming upsert-sink pattern (a memory sink
+    cannot recover from a checkpoint; foreachBatch can). Re-running
+    with Trigger.AvailableNow after new files arrive processes ONLY
+    the new files; rows that land in already-emitted event-time
+    windows (late data, within ``watermark`` of the max observed
+    event time) re-emit those windows with CORRECTED counts.
+
+    Read the latest value per window with ``windowed_counts_latest``:
+    counts under append-only input are monotone per window, so
+    max(n_pages) is the newest emission — which also makes the
+    foreachBatch append idempotent under at-least-once replays.
+    """
+    pages = stream_pages(spark, input_dir)
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"), "n_pages"
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts_latest(spark: SparkSession, output_dir: str) -> DataFrame:
+    """(window_start, n_pages): the late-corrected count per window —
+    the max over the upsert log (counts are monotone per window)."""
+    return (
+        spark.read.parquet(output_dir)
+        .groupBy("window_start")
+        .agg(F.max("n_pages").alias("n_pages"))
+    )
+
+
 def crawl_rate(
     pages: DataFrame,
     window: str = "10 minutes",

@@ -51,6 +51,62 @@ def test_streaming_edge_ingestion_incremental_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 20
 
 
+def test_windowed_counts_late_data_correction(spark, tmp_path):
+    """Out-of-order delivery across two availableNow runs: run 1 sees
+    only LATER event times; run 2 delivers rows whose event times fall
+    INSIDE run-1's already-emitted windows (late, within watermark).
+    The upsert log must re-emit those windows with corrected counts —
+    and the latest-view must equal the batch ground truth."""
+    from planar_spark.streaming.ingest_stream import (
+        run_windowed_counts,
+        windowed_counts_latest,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    wout, wckpt = str(tmp_path / "wins"), str(tmp_path / "wckpt")
+    base = 1_700_000_000
+
+    def page_rows(ids):
+        return spark.createDataFrame(
+            [(f"u{i}",) for i in ids], "url string"
+        ).select(
+            "url",
+            F.timestamp_seconds(
+                F.lit(base)
+                + F.substring("url", 2, 10).cast("long") * 100
+            ).alias("warc_ts"),
+            F.lit(b"").alias("html"),
+            F.lit("").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+
+    # run 1: event times base+1000..base+1900 (windows 600/1200/1800)
+    page_rows(range(10, 20)).write.mode("append").parquet(pages_dir)
+    run_windowed_counts(spark, pages_dir, wout, wckpt)
+    first = {
+        r["window_start"]: r["n_pages"]
+        for r in windowed_counts_latest(spark, wout).collect()
+    }
+    # run 2: event times base+0..base+1100 — ALL LATE vs run-1's max
+    # (base+1900); ids 10/11 land INSIDE run-1's already-emitted
+    # [base+1000, base+1600) window
+    page_rows(range(0, 12)).write.mode("append").parquet(pages_dir)
+    run_windowed_counts(spark, pages_dir, wout, wckpt)
+    latest = {
+        r["window_start"]: r["n_pages"]
+        for r in windowed_counts_latest(spark, wout).collect()
+    }
+    want = {}
+    for i in list(range(10, 20)) + list(range(0, 12)):
+        w = (base + i * 100) // 600 * 600
+        want[w] = want.get(w, 0) + 1
+    assert latest == want
+    # and at least one window run 1 already emitted was CORRECTED up
+    assert any(
+        w in first and latest[w] > first[w] for w in latest
+    ), (first, latest)
+
+
 def test_crawl_rate_windowed_aggregation(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     _write_batch(pages_dir, edges_ring(40), 40, "b.parquet")

@@ -30,10 +30,18 @@ SHRINKING edge set plus one partial-aggregated support count — the
 same shuffle shapes as the gated triangle kernel, repeated a small
 number of rounds (peeling cascades are shallow on web graphs; the
 round count is reported via metrics_out and sized into the oracle
-unroll). A delta-peeling variant (recompute support only near deleted
-edges) would need the O(#triangles) triangle list kept materialized
-across rounds — a memory trade that only pays when triangles fit;
-the recompute form needs O(E) state only.
+unroll).
+
+``delta=True`` switches to the DELTA-PEELING variant: triangles are
+enumerated ONCE, then each round only (1) finds the triangles touching
+a just-deleted edge (three semi-join-shaped probes of the triangle
+list against the small doomed-edge set), (2) decrements the supports
+of their surviving edges, and (3) anti-joins the killed triangles and
+doomed edges out. Per-round shuffle is O(|tri| + killed) instead of
+the O(E^1.5) wedge re-join — the win when rounds are many or wedge
+work dominates; the trade is the O(#triangles) list held materialized
+across rounds (recompute form needs O(E) state only). Both forms
+return the identical unique k-truss (pytest-asserted equal).
 """
 
 from __future__ import annotations
@@ -87,6 +95,127 @@ def _edge_support(und: DataFrame) -> DataFrame:
     return contribs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
 
 
+def _triangles_of(und: DataFrame) -> DataFrame:
+    """(x, y, z): each triangle of ``und`` once, degree-oriented."""
+    udeg = (
+        und.select(F.col("a").alias("vid"))
+        .unionAll(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("udeg"))
+    )
+    da = udeg.select(F.col("vid").alias("a"), F.col("udeg").alias("deg_a"))
+    db = udeg.select(F.col("vid").alias("b"), F.col("udeg").alias("deg_b"))
+    e = und.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    return e1.join(e2, "y").join(closing, ["x", "z"]).select("x", "y", "z")
+
+
+def _tri_edge_contribs(tri: DataFrame) -> DataFrame:
+    """(a, b, c_n): per canonical undirected edge, how many triangles of
+    ``tri`` contain it (3 contribution rows per triangle)."""
+    return (
+        tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .unionAll(
+            tri.select(
+                F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_n"))
+    )
+
+
+def _delta_ktruss(
+    graph: GraphTables,
+    k: int,
+    config: EngineConfig,
+    max_rounds: int,
+    metrics_out: dict | None,
+) -> DataFrame:
+    """Delta-peeling k-truss (see module doc): one triangle
+    enumeration, then per-round support decrements only around deleted
+    edges. Returns the identical unique k-truss as the recompute form."""
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+    und = graph.undirected_edges().repartition(parts, "a")
+    tri = releaf(_triangles_of(und).localCheckpoint(eager=True))
+    es = releaf(  # alive edges with current support
+        und.join(_tri_edge_contribs(tri), ["a", "b"], "left")
+        .select("a", "b", F.coalesce("c_n", F.lit(0)).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    survivors: list[int] = []
+    for _ in range(max_rounds):
+        obs_d = Observation()
+        doomed = releaf(
+            es.where(F.col("s") < k - 2)
+            .select("a", "b")
+            .observe(obs_d, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs_d.get["n"] or 0) == 0:
+            if metrics_out is not None:
+                metrics_out["rounds"] = rounds
+                metrics_out["survivors_per_round"] = survivors
+            return es.select("a", "b")
+        rounds += 1
+        # triangles touching any doomed edge (a triangle with 2+ doomed
+        # edges appears once — distinct corners). Corners are DEGREE-
+        # oriented, so canonicalize each triangle edge with
+        # least/greatest before probing the canonical doomed set.
+        def probe(x, y):
+            d = doomed.select(
+                F.col("a").alias("_da"), F.col("b").alias("_db")
+            )
+            cond = (F.least(tri[x], tri[y]) == d["_da"]) & (
+                F.greatest(tri[x], tri[y]) == d["_db"]
+            )
+            return tri.join(d, cond, "left_semi")
+
+        killed = (
+            probe("x", "y")
+            .unionAll(probe("y", "z"))
+            .unionAll(probe("x", "z"))
+            .distinct()
+        )
+        dec = _tri_edge_contribs(killed)
+        obs_s = Observation()
+        es = releaf(
+            es.join(doomed, ["a", "b"], "left_anti")
+            .join(dec, ["a", "b"], "left")
+            .select(
+                "a", "b",
+                (F.col("s") - F.coalesce("c_n", F.lit(0))).alias("s"),
+            )
+            .observe(obs_s, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        survivors.append(int(obs_s.get["n"] or 0))
+        tri = releaf(
+            tri.join(killed, ["x", "y", "z"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_truss(delta): peeling did not reach a fixpoint in {max_rounds} "
+        "rounds; raise max_rounds"
+    )
+
+
 def k_truss(
     graph: GraphTables,
     k: int,
@@ -95,12 +224,19 @@ def k_truss(
     metrics_out: dict | None = None,
     run_id: str | None = None,
     resume: bool = False,
+    delta: bool = False,
 ) -> DataFrame:
     """Returns the k-truss edge set (a, b) with a < b, exact and
     deterministic. ``metrics_out`` receives ``rounds`` and
-    ``survivors_per_round`` (used to size the oracle unroll)."""
+    ``survivors_per_round`` (used to size the oracle unroll).
+    ``delta=True`` uses the materialized-triangle delta-peeling variant
+    (module doc; no LoopCheckpointer durability — the recompute form
+    remains the durable default)."""
     if k < 3:
         raise ValueError("k-truss requires k >= 3 (k-2 >= 1 triangles)")
+    if delta:
+        config = config or EngineConfig()
+        return _delta_ktruss(graph, k, config, max_rounds, metrics_out)
     config = config or EngineConfig()
     spark = graph.spark
     parts = config.partitions_for(spark)

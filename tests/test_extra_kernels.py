@@ -215,6 +215,41 @@ def test_ktruss_matches_python_peeling(spark, config):
         assert got == _py_ktruss(edges, k), k
 
 
+def test_ktruss_delta_equals_recompute(spark, config):
+    """The delta-peeling variant (materialized triangle list + support
+    decrements around deleted edges) must return the identical unique
+    k-truss as the per-round-recompute form, on a triangle-rich graph
+    and on a multi-round cascade fixture."""
+    from itertools import combinations
+
+    from planar_spark.kernels.truss import k_truss
+    from planar_spark.ingest.pages import edges_powerlaw
+    from tests.conftest import graph_from_numpy
+
+    edges = edges_powerlaw(120, m=4, seed=23)
+    g = graph_from_numpy(spark, edges, 120)
+    for k in (3, 4, 5):
+        got = {
+            (r["a"], r["b"])
+            for r in k_truss(g, k, config, delta=True).collect()
+        }
+        assert got == _py_ktruss(edges, k), k
+    # cascade fixture: a 5-clique with a pendant triangle chain — the
+    # chain peels over MULTIPLE rounds, exercising the decrement path
+    cl = [(a, b) for a, b in combinations(range(5), 2)]
+    chain = [(4, 5), (4, 6), (5, 6), (5, 7), (6, 7), (6, 8), (7, 8)]
+    ed = np.array(cl + chain)
+    g2 = graph_from_numpy(spark, ed, 9)
+    m_delta: dict = {}
+    got2 = {
+        (r["a"], r["b"])
+        for r in k_truss(g2, 4, config, delta=True,
+                         metrics_out=m_delta).collect()
+    }
+    assert got2 == _py_ktruss(ed, 4)
+    assert m_delta["rounds"] >= 2  # the chain actually cascaded
+
+
 def test_ktruss_resume_equals_uninterrupted(spark, tmp_path):
     from planar_spark.config import EngineConfig
     from planar_spark.kernels.truss import k_truss

@@ -286,7 +286,7 @@ def main() -> None:
     # bound (~1.04/sqrt(2^lgK) ≈ 3.3% at lgK=10).
     big: dict[str, object] = {}
     try:
-        big["probe_sec"] = mem_probe()
+        big_probe = mem_probe()
         bg = big_bench_graph(spark, sf_dir, parts)
         t0 = time.time()
         bpr = pagerank(bg, cfg, num_iterations=PR_ITERS)
@@ -295,6 +295,7 @@ def main() -> None:
         connected_components(bg, cfg, two_hop_init=True)
         big_wcc_sec = round(time.time() - t0, 3)
         big = {
+            "probe_sec": big_probe,
             "num_vertices": bg.num_vertices,
             "num_edges": bg.num_edges,
             "pagerank_sec": big_pr_sec,

@@ -43,6 +43,19 @@ from planar_spark.kernels import pagerank
 
 cores = int(sys.argv[1]); edges_n = int(sys.argv[2]); iters = int(sys.argv[3])
 parts = cores * 2
+
+# memory-mode fingerprint (this host's memory perf is bimodal
+# run-to-run): fixed single-process ~256MB streaming pass, measured
+# BEFORE Spark starts so it reflects the mode this run landed in
+import numpy as _np
+_a = _np.ones(1 << 25, dtype=_np.int64)
+_t0 = time.time()
+_s = 0
+for _ in range(3):
+    _s += int((_a + 1).sum())
+probe_sec = round(time.time() - _t0, 3)
+del _a
+
 spark = get_spark("scaling_bench", cores=cores, shuffle_partitions=parts,
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
 e = synth_edges(spark, edges_n, edges_n // 100, num_partitions=parts)
@@ -73,7 +86,8 @@ for i in range(3):
 
 print(json.dumps({{"cores": cores, "num_edges": g.num_edges,
                    "num_vertices": g.num_vertices, "supersteps": iters,
-                   "per_step": steps, "compute_times": compute_times}}))
+                   "per_step": steps, "compute_times": compute_times,
+                   "probe_sec": probe_sec}}))
 spark.stop()
 """
 
@@ -99,13 +113,19 @@ def main() -> None:
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    # INTERLEAVED A/B/A/B: each round runs local[8] then local[32]
+    # back-to-back, so the host's bimodal memory modes hit both configs
+    # alike instead of one whole config landing in the slow mode; each
+    # run carries its own memory-mode probe fingerprint.
     results: dict[int, list[dict]] = {8: [], 32: []}
-    for cores in (8, 32):
-        for i in range(args.runs):
+    for i in range(args.runs):
+        for cores in (8, 32):
             r = run_once(repo, cores, args.edges, args.iters)
             results[cores].append(r)
-            print(f"local[{cores}] run {i + 1}: steps={['%.1f' % s for s in r['per_step']]} "
-                  f"compute={['%.1f' % s for s in r['compute_times']]}", flush=True)
+            print(f"round {i + 1} local[{cores}]: "
+                  f"steps={['%.1f' % s for s in r['per_step']]} "
+                  f"compute={['%.1f' % s for s in r['compute_times']]} "
+                  f"probe={r.get('probe_sec')}", flush=True)
 
     def steady_pool(c):  # pooled steady-state per-step seconds
         pool = []
@@ -144,6 +164,19 @@ def main() -> None:
     eff_best = (best(8) / best(32)) / 4.0
     c8, c32 = compute_med(8), compute_med(32)
     eff_compute = (c8 / c32) / 4.0
+    # pairwise (mode-matched) kernel efficiency: the i-th local[8] and
+    # local[32] runs executed back-to-back, so comparing within a round
+    # compares like memory mode with like; report the median of
+    # per-round efficiencies alongside the pooled-median number
+    pair_effs = []
+    for r8, r32 in zip(results[8], results[32]):
+        m8 = statistics.median(r8["per_step"][2:])
+        m32 = statistics.median(r32["per_step"][2:])
+        pair_effs.append((m8 / m32) / 4.0)
+    eff_paired = statistics.median(pair_effs)
+    probes = {
+        c: [r.get("probe_sec") for r in results[c]] for c in (8, 32)
+    }
 
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     path = os.path.join(repo, "BENCH", "BASELINE.md")
@@ -171,8 +204,12 @@ planar_spark/graph/tables.py). Steady-state = supersteps 3+ (drops JIT
 | local[32] (4N) | {step32:.2f} | [{s32lo:.2f}, {s32hi:.2f}] | {eps32:,.0f} | {3600 / step32:,.1f} |
 
 **Kernel scaling efficiency (N -> 4N): median {eff_kernel:.3f} /
-best-case {eff_best:.3f}** (best-of-steady-state per config; this host
-alternates between fast and slow modes run-to-run, see raw data)
+mode-matched paired median {eff_paired:.3f} / best-case
+{eff_best:.3f}** (runs interleaved A/B/A/B so the host's bimodal
+memory modes hit both configs alike; "paired" compares each round's
+back-to-back local[8]/local[32] pair. Per-run ~256MB stream probe
+fingerprints the mode each run landed in:
+local[8] probes {probes[8]}, local[32] probes {probes[32]})
 
 ## CPU-intensity probe (codegen'd xxhash64 pipeline, 2B rows)
 

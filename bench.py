@@ -253,6 +253,15 @@ def main() -> None:
     from planar_spark.kernels.truss import k_truss
 
     timed_extra("ktruss", lambda: k_truss(g, k=4, config=cfg).count())
+    # the materialized-triangle delta-peeling variant, same k — the
+    # side-by-side number that decides which form the scale plan uses
+    # (big-graph ktruss measures 1 peel round on this derivation, so
+    # the recompute form's per-round re-enumeration is NOT the
+    # dominant cost there; this row keeps the comparison honest)
+    timed_extra(
+        "ktruss_delta",
+        lambda: k_truss(g, k=4, config=cfg, delta=True).count(),
+    )
     src_min = int(g.vertices.agg(F.min("vid")).collect()[0][0])
     wdf = g.edges.select(
         "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w")

@@ -36,7 +36,7 @@ KERNELS = (
     "pagerank", "wcc", "lpa", "triangles", "sssp",
     "msf", "coloring", "khop", "randomwalk", "kcore",
     "scc", "hits", "ppr", "lcc", "bowtie", "stats", "diameter", "ktruss",
-    "wsssp",
+    "wsssp", "wmsf", "centralities", "node2vec", "triads",
 )
 
 
@@ -55,7 +55,12 @@ def main() -> None:
     ap.add_argument("--source", type=int, default=0, help="sssp source vid")
     ap.add_argument(
         "--weights",
-        help="parquet (src, dst, w) edge weights for wsssp; hop=1 default",
+        help="parquet (src, dst, w) edge weights for wsssp (hop=1 "
+        "default) and wmsf (required there)",
+    )
+    ap.add_argument(
+        "--num-walks", type=int, default=4,
+        help="node2vec: biased walks per start vertex",
     )
     ap.add_argument(
         "--k", type=int, default=8, help="k for the k-core / k-truss kernels"
@@ -211,6 +216,34 @@ def main() -> None:
         from planar_spark.kernels.neighborhood import random_walk
 
         out, meta = random_walk(g, cfg, num_steps=args.iterations or 4), None
+    elif args.kernel == "wmsf":
+        from planar_spark.kernels.mst import boruvka_msf
+
+        if not args.weights:
+            ap.error("--weights (src, dst, w parquet) is required for wmsf")
+        out, meta = boruvka_msf(
+            g, cfg, run_id=args.run_id, resume=args.resume,
+            weights=spark.read.parquet(args.weights),
+        ), None
+    elif args.kernel == "centralities":
+        # sketch-mode harmonic + closeness from HyperBall HLL counters
+        # (the 100 TB path); --iterations caps the radius
+        from planar_spark.kernels.hyperball import hyperball_centralities
+
+        out, meta = hyperball_centralities(
+            g, args.iterations or 8, cfg
+        ), None
+    elif args.kernel == "node2vec":
+        from planar_spark.kernels.neighborhood import node2vec_walk
+
+        out, meta = node2vec_walk(
+            g, cfg, num_steps=args.iterations or 4,
+            num_walks=args.num_walks,
+        ), None
+    elif args.kernel == "triads":
+        from planar_spark.kernels.graphstats import triad_census
+
+        out, meta = triad_census(g, cfg), None
     elif args.kernel == "wsssp":
         from planar_spark.kernels.sssp import weighted_sssp
 

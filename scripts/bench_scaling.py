@@ -169,11 +169,17 @@ def main() -> None:
     # compares like memory mode with like; report the median of
     # per-round efficiencies alongside the pooled-median number
     pair_effs = []
+    pair_compute_effs = []
     for r8, r32 in zip(results[8], results[32]):
         m8 = statistics.median(r8["per_step"][2:])
         m32 = statistics.median(r32["per_step"][2:])
         pair_effs.append((m8 / m32) / 4.0)
+        pair_compute_effs.append(
+            (statistics.median(r8["compute_times"])
+             / statistics.median(r32["compute_times"])) / 4.0
+        )
     eff_paired = statistics.median(pair_effs)
+    eff_compute_paired = statistics.median(pair_compute_effs)
     probes = {
         c: [r.get("probe_sec") for r in results[c]] for c in (8, 32)
     }
@@ -218,7 +224,12 @@ local[8] probes {probes[8]}, local[32] probes {probes[32]})
 | local[8]  | {c8:.2f} | [{c8lo:.2f}, {c8hi:.2f}] |
 | local[32] | {c32:.2f} | [{c32lo:.2f}, {c32hi:.2f}] |
 
-**Compute scaling efficiency (N -> 4N): {eff_compute:.3f}** (target >= 0.8)
+**Compute scaling efficiency (N -> 4N): pooled median
+{eff_compute:.3f} / mode-matched paired median {eff_compute_paired:.3f}
+(per-round: {", ".join(f"{e:.2f}" for e in pair_compute_effs)})**
+(target >= 0.8; the paired number compares each round's back-to-back
+runs so a single slow-mode round cannot drag one config's pooled
+median)
 
 ## Why the two numbers differ — and what transfers to a real cluster
 

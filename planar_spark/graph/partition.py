@@ -14,11 +14,35 @@ degree distributions, re-expressed here with a degree prefix-sum.
 | hash_edge_cut               | hash_based_edgecut.cpp            |
 | two_d_cut                   | two_dimensional_vertexcut.cpp     |
 | balanced_range_partition    | planar/partitioner.cpp:62-101     |
+| bfs_edge_cut (T3)           | bfs_based_edgecut.cpp             |
+| bfs_vertex_cut (T4)         | csr_based_planar_vertexcut.cpp:52-250,457-505 |
+
+The BFS pair re-expresses the reference's locality-first growth as
+frontier DataFrame supersteps (the same join shape as kernels/sssp):
+
+- T3 ``bfs_edge_cut``: one BFS region per target partition, grown
+  simultaneously from the k highest-degree seeds; a vertex joins the
+  lowest-numbered region that reaches it first, regions stop expanding
+  at a soft capacity cap (|V|/k * cap_factor), and stranded vertices
+  balance-fill deterministically. Edges follow part(src) = edge-cut.
+- T4 ``bfs_vertex_cut``: grow MORE branches than partitions
+  (branch_factor*k, the reference grows one branch per root-neighbor
+  until branch >= E/128), then greedily merge branch sizes into k
+  partitions driver-side (the reference's ``Redistributing`` — a
+  k*branch_factor-scalar bin-pack, no data movement), and assign each
+  EDGE to least(part(src), part(dst)) — a vertex-cut: a vertex with
+  edges in several partitions is implicitly replicated, exactly the
+  reference's border-vertex notion (SURVEY P17).
+
+Per BFS round the driver sees only ≤ num_branches scalars (per-branch
+growth counts, same budget discipline as balanced_range_bounds);
+frontier expansion is the standard hash-join + min-agg superstep, so
+the rounds scale like any BFS kernel at 100 TB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def hash_vertex_cut(edges: DataFrame, num_partitions: int) -> DataFrame:
@@ -125,6 +149,153 @@ def balanced_range_bounds(
         .groupBy("part")
         .agg(F.min("vid").alias("lo"), F.max("vid").alias("hi"))
     )
+
+
+def bfs_grow_labels(
+    graph,
+    num_branches: int,
+    cap_factor: float = 1.5,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """(vid, branch) for EVERY vertex: multi-source BFS region growth.
+
+    Seeds are the ``num_branches`` highest-out-degree vertices
+    (deterministic tie-break by vid — the reference picks max-degree
+    roots, csr_based_planar_vertexcut.cpp:124-141); branch ids follow
+    that order. Each round every unlabeled vertex adjacent (undirected)
+    to a labeled one adopts the MIN branch among its labeled neighbors
+    — first-reach wins, ties lowest branch, fully deterministic. A
+    branch whose size reaches ceil(|V|/num_branches * cap_factor) stops
+    expanding (soft cap: the round that crosses the cap completes).
+    Vertices never reached (other components, or walled off by full
+    branches) fill as vid % num_branches.
+    """
+    from planar_spark.graph.superstep import releaf
+
+    spark = graph.spark
+    nv = graph.num_vertices
+    if nv == 0:
+        return spark.createDataFrame([], schema="vid long, branch int")
+    b = min(int(num_branches), nv)
+    cap = int(nv / b * cap_factor) + 1
+    seed_rows = (
+        graph.degrees.orderBy(F.desc("out_deg"), F.asc("vid"))
+        .limit(b)
+        .select("vid")
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        [(int(r["vid"]), i) for i, r in enumerate(seed_rows)],
+        schema="vid long, branch int",
+    )
+    sym = graph.symmetric_edges().select("src", "dst")
+    labels = releaf(seeds.localCheckpoint(eager=True))
+    frontier = labels
+    sizes = {i: 1 for i in range(b)}
+    for _ in range(max_rounds):
+        open_branches = [i for i, s in sizes.items() if s < cap]
+        if not open_branches:
+            break
+        f = (
+            frontier
+            if len(open_branches) == b
+            else frontier.where(F.col("branch").isin(open_branches))
+        )
+        grown = (
+            f.join(sym, f["vid"] == sym["src"])
+            .select(F.col("dst").alias("vid"), "branch")
+            .join(labels, "vid", "left_anti")
+            .groupBy("vid")
+            .agg(F.min("branch").alias("branch"))
+        )
+        new = releaf(grown.localCheckpoint(eager=True))
+        # per-branch growth counts: ≤ b scalars to the driver per round
+        per_branch = {
+            r["branch"]: r["n"]
+            for r in new.groupBy("branch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_branch:
+            break
+        for i, n in per_branch.items():
+            sizes[i] = sizes.get(i, 0) + int(n)
+        labels = releaf(labels.unionAll(new).localCheckpoint(eager=True))
+        frontier = new
+    # deterministic balance-fill for stranded vertices
+    return graph.vertices.select("vid").join(labels, "vid", "left").select(
+        "vid",
+        F.coalesce(
+            "branch", F.pmod(F.col("vid"), F.lit(b)).cast("int")
+        ).alias("branch"),
+    )
+
+
+def bfs_edge_cut(
+    graph, num_partitions: int, cap_factor: float = 1.5
+) -> DataFrame:
+    """T3: BFS-grown edge-cut — edges bucketed by the BFS region of
+    their src (reference bfs_based_edgecut.cpp). Returns edges with a
+    ``part`` column, range-repartitioned by it (hash(part) % n would
+    collide distinct region ids into one physical partition)."""
+    labels = bfs_grow_labels(graph, num_partitions, cap_factor)
+    lab = labels.select(F.col("vid").alias("src"), F.col("branch").alias("part"))
+    out = graph.edges.select("src", "dst").join(lab, "src", "left").select(
+        "src", "dst", F.coalesce("part", F.lit(0)).alias("part")
+    )
+    return out.repartitionByRange(num_partitions, "part")
+
+
+def bfs_vertex_cut(
+    graph,
+    num_partitions: int,
+    branch_factor: int = 4,
+    cap_factor: float = 1.5,
+) -> DataFrame:
+    """T4: planar BFS-branch vertex-cut — grow branch_factor*k branches,
+    greedily merge them into k partitions by size (the reference's
+    Redistributing, csr_based_planar_vertexcut.cpp:457-505, done here
+    as a driver-side bin-pack over ≤ branch_factor*k scalars), then
+    assign each EDGE to least(part(src), part(dst)). Vertices incident
+    to several partitions are implicitly replicated — the vertex-cut /
+    border-vertex model. Returns edges with a ``part`` column."""
+    nb = max(num_partitions, int(num_partitions) * int(branch_factor))
+    labels = bfs_grow_labels(graph, nb, cap_factor)
+    branch_sizes = {
+        r["branch"]: r["n"]
+        for r in labels.groupBy("branch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # greedy merge: largest branch first into the currently lightest
+    # partition (ties -> lowest part id; fully deterministic)
+    load = [0] * num_partitions
+    branch_to_part = {}
+    for br in sorted(branch_sizes, key=lambda x: (-branch_sizes[x], x)):
+        p = min(range(num_partitions), key=lambda i: (load[i], i))
+        branch_to_part[br] = p
+        load[p] += branch_sizes[br]
+    m = F.broadcast(
+        labels.sparkSession.createDataFrame(
+            [(int(br), int(p)) for br, p in branch_to_part.items()],
+            schema="branch int, part int",
+        )
+    )
+    vp = labels.join(m, "branch").select("vid", "part")
+    ps = vp.select(F.col("vid").alias("src"), F.col("part").alias("p_src"))
+    pd = vp.select(F.col("vid").alias("dst"), F.col("part").alias("p_dst"))
+    out = (
+        graph.edges.select("src", "dst")
+        .join(ps, "src", "left")
+        .join(pd, "dst", "left")
+        .select(
+            "src", "dst",
+            F.least(
+                F.coalesce("p_src", F.lit(0)), F.coalesce("p_dst", F.lit(0))
+            ).alias("part"),
+        )
+    )
+    return out.repartitionByRange(num_partitions, "part")
 
 
 def partition_edge_histogram(parted: DataFrame) -> list[int]:

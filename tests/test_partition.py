@@ -16,6 +16,113 @@ from planar_spark.ingest.pages import edges_powerlaw, edges_star_hub
 from tests.conftest import graph_from_numpy
 
 
+def _ring_of_cliques(n_cliques: int, clique_size: int) -> np.ndarray:
+    """n_cliques cliques joined in a ring by one bridge edge each — the
+    community-structured fixture where a locality-aware partitioner
+    should approach zero cross-partition edges."""
+    from itertools import combinations
+
+    edges = []
+    for c in range(n_cliques):
+        base = c * clique_size
+        edges += [(base + a, base + b) for a, b in combinations(range(clique_size), 2)]
+        nxt = ((c + 1) % n_cliques) * clique_size
+        edges.append((base, nxt))
+    return np.array(edges)
+
+
+def test_bfs_edge_cut_locality_balance_determinism(spark):
+    """T3: BFS-grown regions on a ring of 8 cliques must (1) keep every
+    edge, (2) be deterministic run-to-run, (3) beat hash vertex-cut on
+    cross-partition edge fraction by a wide margin, and (4) stay
+    balanced within the soft cap."""
+    from pyspark.sql import functions as F
+
+    from planar_spark.graph.partition import bfs_edge_cut, bfs_grow_labels
+
+    P, csize = 8, 20
+    edges = _ring_of_cliques(P, csize)
+    n = P * csize
+    g = graph_from_numpy(spark, edges, n)
+
+    lab1 = {r["vid"]: r["branch"] for r in bfs_grow_labels(g, P).collect()}
+    lab2 = {r["vid"]: r["branch"] for r in bfs_grow_labels(g, P).collect()}
+    assert lab1 == lab2  # deterministic
+    assert len(lab1) == n  # every vertex labeled
+
+    parted = bfs_edge_cut(g, P)
+    assert parted.count() == g.num_edges
+
+    def cross(assign):
+        e = g.edges
+        return (
+            e.select((assign("src") != assign("dst")).cast("int").alias("x"))
+            .agg(F.avg("x")).collect()[0][0]
+        )
+
+    lab_df = spark.createDataFrame(
+        [(v, b) for v, b in lab1.items()], "vid long, branch int"
+    )
+    # cross fraction via joins against the label table
+    e = g.edges
+    ls = lab_df.select(F.col("vid").alias("src"), F.col("branch").alias("bs"))
+    ld = lab_df.select(F.col("vid").alias("dst"), F.col("branch").alias("bd"))
+    bfs_cross = (
+        e.join(ls, "src").join(ld, "dst")
+        .select((F.col("bs") != F.col("bd")).cast("int").alias("x"))
+        .agg(F.avg("x")).collect()[0][0]
+    )
+    hash_cross = cross(
+        lambda c: F.pmod(F.xxhash64(c), F.lit(P))
+    )
+    # cliques are id-contiguous and seeds land one-per-clique region:
+    # cross edges should be at most the ring bridges + slack, far under
+    # hash's ~(1 - 1/P)
+    assert bfs_cross < 0.25 < hash_cross, (bfs_cross, hash_cross)
+
+    # balance: no branch exceeds the soft cap by more than one round
+    from collections import Counter
+
+    sizes = Counter(lab1.values())
+    cap = int(n / P * 1.5) + 1
+    assert max(sizes.values()) <= cap + csize, sizes
+
+
+def test_bfs_vertex_cut_merges_and_preserves_edges(spark):
+    """T4: branch-grow + greedy merge must keep every edge exactly once,
+    produce ≤ P parts, balance the merged partitions, and beat hash on
+    locality on the community fixture."""
+    from pyspark.sql import functions as F
+
+    from planar_spark.graph.partition import bfs_vertex_cut
+
+    P, csize = 4, 25
+    edges = _ring_of_cliques(8, csize)  # 8 branches-worth of structure
+    n = 8 * csize
+    g = graph_from_numpy(spark, edges, n)
+    parted = bfs_vertex_cut(g, P, branch_factor=2)
+    assert parted.count() == g.num_edges
+    hist = [
+        r["n"] for r in parted.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(hist) <= P
+    mean = g.num_edges / P
+    assert max(hist) <= 2.0 * mean, hist
+    # locality: edges landing where src-part == dst-part dominate. The
+    # vertex-cut assigns an edge to least(p_src, p_dst); measure the
+    # fraction of edges whose endpoints' parts DIFFER (replicated
+    # border vertices) and require it far below hash's ~(1 - 1/P).
+    lab = parted.select("src", "dst", "part")
+    ps = lab.groupBy("src").agg(F.min("part").alias("p1"))
+    diff = (
+        parted.join(ps, "src")
+        .select((F.col("part") != F.col("p1")).cast("int").alias("x"))
+        .agg(F.avg("x")).collect()[0][0]
+    )
+    assert diff < 0.5  # most edges sit in their src's home partition
+
+
 def test_hash_cuts_preserve_edges(spark):
     edges = edges_powerlaw(200, m=3, seed=2)
     g = graph_from_numpy(spark, edges, 200)

@@ -372,6 +372,17 @@ def main() -> None:
             "hyperball_centralities_r2_sec",
             lambda: hyperball_centralities(bg, 2, cfg, lg_config_k=10).count(),
         )
+        # sketch-mode effective diameter at radius 4: the exact mode's
+        # pair materialization is infeasible at this depth/scale; the
+        # HyperBall profile rides Observations (no extra actions)
+        from planar_spark.kernels.hyperball import effective_diameter_approx
+
+        timed_big(
+            "eff_diameter_sketch_r4_sec",
+            lambda: effective_diameter_approx(
+                bg, 4, q=0.9, config=cfg, lg_config_k=10
+            ).count(),
+        )
         # node2vec training-corpus generation at scale: 4 biased walks
         # per start (~33k starts in the 2^20-vid space at mod 31)
         from planar_spark.kernels.neighborhood import node2vec_walk

@@ -26,9 +26,11 @@ from planar_spark.kernels.hyperball import (
     closeness_centrality,
     distance_histogram,
     effective_diameter,
+    effective_diameter_approx,
     harmonic_centrality,
     hyperball,
     hyperball_centralities,
+    hyperball_nf_profile,
     neighborhood_function_exact,
 )
 
@@ -47,9 +49,11 @@ __all__ = [
     "closeness_centrality",
     "distance_histogram",
     "effective_diameter",
+    "effective_diameter_approx",
     "harmonic_centrality",
     "hyperball",
     "hyperball_centralities",
+    "hyperball_nf_profile",
     "neighborhood_function_exact",
     "hits",
     "incremental_wcc",

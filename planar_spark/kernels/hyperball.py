@@ -316,6 +316,111 @@ def hyperball(
     return out
 
 
+def hyperball_nf_profile(
+    graph: GraphTables,
+    radius: int,
+    config: EngineConfig | None = None,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """(r, total_nf_est): the GLOBAL neighborhood function per radius
+    0..radius from HyperBall sketches — Σ_v |B(v, r)| estimated, the
+    curve web-graph papers integrate for the effective diameter.
+
+    Zero extra actions: each round's global estimate rides the state
+    checkpoint job as an ``Observation`` (sum of the per-vertex HLL
+    estimates — the [[observation-metrics-trick]] discipline), so the
+    profile costs exactly the HyperBall supersteps. State stays
+    O(V · sketch_bytes) at any radius; the exact distance_histogram is
+    the small-radius oracle (pytest-matched in sparse-exact range)."""
+    config = config or EngineConfig()
+    parts = config.partitions_for(graph.spark)
+
+    rev = (
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .distinct()
+        .repartition(parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    est = F.hll_sketch_estimate("sk")
+    obs0 = Observation()
+    state = releaf(
+        graph.vertices.groupBy("vid")
+        .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
+        .repartition(parts, "vid")
+        .observe(obs0, F.sum(est).alias("nf"))
+        .localCheckpoint(eager=True)
+    )
+    profile = [(0, float(obs0.get["nf"] or 0.0))]
+    for r in range(1, radius + 1):
+        msgs = (
+            rev.join(state.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.hll_union_agg("sk").alias("nsk"))
+        )
+        obs = Observation()
+        state = releaf(
+            state.join(msgs, "vid", "left")
+            .select(
+                "vid",
+                F.when(
+                    F.col("nsk").isNull(), F.col("sk")
+                ).otherwise(F.hll_union("sk", "nsk")).alias("sk"),
+            )
+            .observe(obs, F.sum(est).alias("nf"))
+            .localCheckpoint(eager=True)
+        )
+        profile.append((r, float(obs.get["nf"] or 0.0)))
+    rev.unpersist()
+    return graph.spark.createDataFrame(
+        profile, schema="r long, total_nf_est double"
+    )
+
+
+def effective_diameter_approx(
+    graph: GraphTables,
+    radius: int,
+    q: float = 0.9,
+    config: EngineConfig | None = None,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """One row (q, eff_diameter): interpolated effective diameter from
+    the HyperBall neighborhood-function profile — the sketch-mode
+    companion to ``effective_diameter`` (which materializes the exact
+    truncated closure). Same Palmer-style interpolation, but over the
+    O(radius) global NF estimates: eff = (d-1) + (q·NF(R) − NF(d−1)) /
+    (NF(d) − NF(d−1)) at the first d where NF(d) covers the target.
+    The q-quantile is taken against NF(radius) (the pairs reachable
+    within the truncation radius), mirroring the exact kernel."""
+    prof = {
+        int(r["r"]): float(r["total_nf_est"])
+        for r in hyperball_nf_profile(graph, radius, config, lg_config_k)
+        .collect()
+    }
+    if not prof or max(prof.values()) <= 0.0:
+        return graph.spark.createDataFrame(
+            [(float(q), 0.0)], schema="q double, eff_diameter double"
+        )
+    rs = sorted(prof)
+    total = prof[rs[-1]]
+    target = q * total
+    eff = float(rs[-1])
+    prev = 0.0
+    for r in rs:
+        cum = prof[r]
+        if cum >= target:
+            step = cum - prev
+            eff = (
+                0.0 if r == 0
+                else (r - 1) + ((target - prev) / step if step > 0 else 0.0)
+            )
+            break
+        prev = cum
+    return graph.spark.createDataFrame(
+        [(float(q), float(eff))], schema="q double, eff_diameter double"
+    ).select("q", F.round("eff_diameter", 6).alias("eff_diameter"))
+
+
 def hyperball_centralities(
     graph: GraphTables,
     radius: int,

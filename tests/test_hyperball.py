@@ -200,6 +200,42 @@ def test_hyperball_centralities_match_exact(spark, config):
         assert c_est == pytest.approx(closeness, rel=0.05, abs=0.02)
 
 
+def test_hyperball_nf_profile_and_diameter_match_exact(spark, config):
+    """Sketch-mode NF profile + effective diameter vs the exact
+    kernels: at these cardinalities the HLL is sparse-exact, so the
+    per-radius totals equal the exact prefix-sums and the interpolated
+    diameters agree tightly."""
+    from planar_spark.kernels.hyperball import (
+        distance_histogram,
+        effective_diameter,
+        effective_diameter_approx,
+        hyperball_nf_profile,
+    )
+
+    n, r = 100, 4
+    edges = edges_powerlaw(n, m=3, seed=13)
+    g = graph_from_numpy(spark, edges, n)
+    hist = {
+        row["dist"]: row["n_pairs"]
+        for row in distance_histogram(g, r, config).collect()
+    }
+    cum, want = 0, {}
+    for d in sorted(hist):
+        cum += hist[d]
+        want[d] = cum
+    prof = {
+        int(row["r"]): row["total_nf_est"]
+        for row in hyperball_nf_profile(g, r, config).collect()
+    }
+    for d, exact_cum in want.items():
+        assert prof[d] == pytest.approx(exact_cum, rel=0.03), d
+    de = effective_diameter(g, r, q=0.9, config=config).collect()[0]
+    da = effective_diameter_approx(g, r, q=0.9, config=config).collect()[0]
+    assert da["eff_diameter"] == pytest.approx(
+        de["eff_diameter"], abs=0.1
+    )
+
+
 def test_effective_diameter_empty_graph(spark, config):
     import numpy as np
 

@@ -215,6 +215,14 @@ def main() -> None:
 
     timed_extra("msf", lambda: boruvka_msf(g, cfg).count())
     timed_extra("kcore", lambda: k_core(g, k=8, config=cfg).count())
+    from planar_spark.kernels.kcore import core_decomposition
+
+    cd_m: dict = {}
+    timed_extra(
+        "core_decomposition",
+        lambda: core_decomposition(g, cfg, metrics_out=cd_m).count(),
+    )
+    extras["core_decomposition_max_core"] = cd_m.get("max_core")
     timed_extra("coloring", lambda: greedy_coloring(g, cfg).count())
     timed_extra("scc", lambda: strongly_connected_components(g, cfg).count())
     timed_extra("hits", lambda: hits(g, cfg, num_iterations=4).state.count())

@@ -12,7 +12,7 @@ from planar_spark.kernels.coloring import greedy_coloring
 from planar_spark.kernels.gnn import gnn_forward
 from planar_spark.kernels.hits import hits
 from planar_spark.kernels.neighborhood import node2vec_walk, random_walk
-from planar_spark.kernels.kcore import k_core
+from planar_spark.kernels.kcore import core_decomposition, k_core
 from planar_spark.kernels.truss import k_truss
 from planar_spark.kernels.graphstats import (
     degree_assortativity,
@@ -37,6 +37,7 @@ from planar_spark.kernels.hyperball import (
 __all__ = [
     "node2vec_walk",
     "random_walk",
+    "core_decomposition",
     "k_core",
     "k_truss",
     "weighted_sssp",

@@ -152,3 +152,104 @@ def k_core(
         .join(core.withColumn("_in", F.lit(1)), "vid", "left")
         .select("vid", F.coalesce("_in", F.lit(0)).cast("long").alias("in_core"))
     )
+
+
+def core_decomposition(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    max_rounds: int = 2000,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """(vid, core) for ALL vertices: the core NUMBER — the largest k
+    such that vid survives in the k-core. The graph-profiling
+    generalization of ``k_core`` (which answers one fixed k); core
+    numbers drive fringe filtering, spam-farm scoring, and degeneracy
+    orderings.
+
+    Ascending-k peeling with the SAME delta discipline as k_core: one
+    full O(E) degree count, then every round removes the current
+    deg<k frontier and decrements only the edges incident to it. A
+    vertex removed while peeling at level k has core number k-1; when
+    a level reaches its fixpoint, k advances (a free driver-side
+    branch — no extra job). Total work = Σ frontier edges over ALL
+    levels ≈ O(E) decrements overall, plus one tiny driver scalar per
+    round. Deterministic (core numbers are unique).
+    """
+    config = config or EngineConfig()
+    parts = config.partitions_for(graph.spark)
+    spark = graph.spark
+    sym = graph.symmetric_edges().repartition(parts, "src").persist()
+    state = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+    n_alive = state.count()
+
+    assigned_parts: list[DataFrame] = []
+    k = 1
+    rounds = 0
+    levels: list[int] = []
+    for _ in range(max_rounds):
+        if n_alive == 0:
+            break
+        obs_f = Observation()
+        removed = releaf(
+            state.where(F.col("deg") < k)
+            .select("vid")
+            .observe(obs_f, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_removed = int(obs_f.get["n"])
+        if n_removed == 0:
+            levels.append(k)
+            k += 1  # level fixpoint: everything left is in the k-core
+            continue
+        rounds += 1
+        assigned_parts.append(
+            removed.select("vid", F.lit(k - 1).cast("long").alias("core"))
+        )
+        rm_src = removed.select(F.col("vid").alias("src"))
+        loss = (
+            sym.join(maybe_broadcast(rm_src, config, n_removed), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("lost"))
+        )
+        new_state = (
+            state.where(F.col("deg") >= k)
+            .join(loss, "vid", "left")
+            .select(
+                "vid",
+                (F.col("deg") - F.coalesce("lost", F.lit(0))).alias("deg"),
+            )
+        )
+        if rounds % 8 == 0:
+            new_state = releaf(
+                new_state.localCheckpoint(eager=True)
+            ).repartition(parts, "vid")
+        new_state = new_state.persist()
+        n_alive = new_state.count()
+        state.unpersist()
+        state = new_state
+    else:
+        raise RuntimeError(
+            f"core_decomposition: not finished in {max_rounds} rounds; "
+            "raise max_rounds"
+        )
+    sym.unpersist()
+    state.unpersist()
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
+        metrics_out["max_core"] = k - 1
+        metrics_out["levels"] = levels
+    if assigned_parts:
+        assigned = assigned_parts[0]
+        for p in assigned_parts[1:]:
+            assigned = assigned.unionAll(p)
+        assigned = releaf(assigned.localCheckpoint(eager=True))
+    else:
+        assigned = spark.createDataFrame([], schema="vid long, core long")
+    # vertices with no undirected edges never entered the state: core 0
+    return (
+        graph.vertices.select("vid")
+        .join(assigned, "vid", "left")
+        .select("vid", F.coalesce("core", F.lit(0)).alias("core"))
+    )

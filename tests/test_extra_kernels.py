@@ -215,6 +215,66 @@ def test_ktruss_matches_python_peeling(spark, config):
         assert got == _py_ktruss(edges, k), k
 
 
+def _py_core_numbers(edges: np.ndarray) -> dict[int, int]:
+    """Classic min-degree peeling core numbers on the undirected simple
+    graph (batch-synchronous like the kernel: remove ALL deg<k each
+    pass — core numbers are identical either way)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    k = 1
+    while adj:
+        doomed = [v for v, ns in adj.items() if len(ns) < k]
+        if not doomed:
+            k += 1
+            continue
+        for v in doomed:
+            core[v] = k - 1
+            for w in adj[v]:
+                if w in adj and w != v:
+                    adj[w].discard(v)
+            del adj[v]
+    return core
+
+
+@pytest.mark.parametrize(
+    "name,edges,n",
+    [
+        ("powerlaw", edges_powerlaw(150, m=3, seed=19), 150),
+        ("two_cliques", *edges_two_cliques(6, n_isolated=3)),
+        ("star", edges_star_hub(20), 20),
+    ],
+    ids=["powerlaw", "two_cliques", "star"],
+)
+def test_core_decomposition_matches_python(spark, config, name, edges, n):
+    from planar_spark.kernels.kcore import core_decomposition, k_core
+
+    g = graph_from_numpy(spark, edges, n)
+    m: dict = {}
+    got = {
+        r["vid"]: r["core"]
+        for r in core_decomposition(g, config, metrics_out=m).collect()
+    }
+    want = _py_core_numbers(edges)
+    for v in range(n):
+        assert got[v] == want.get(v, 0), (v, got[v], want.get(v, 0))
+    # consistency with the fixed-k kernel: the max-core vertex set of
+    # core_decomposition equals k_core's membership at k = max_core
+    kmax = m["max_core"]
+    if kmax >= 1:
+        in_k = {
+            r["vid"]
+            for r in k_core(g, kmax, config).collect()
+            if r["in_core"] == 1
+        }
+        assert {v for v, c in got.items() if c >= kmax} == in_k
+
+
 def test_ktruss_delta_equals_recompute(spark, config):
     """The delta-peeling variant (materialized triangle list + support
     decrements around deleted edges) must return the identical unique

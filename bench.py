@@ -270,6 +270,14 @@ def main() -> None:
         "ktruss_delta",
         lambda: k_truss(g, k=4, config=cfg, delta=True).count(),
     )
+    from planar_spark.kernels.truss import truss_decomposition
+
+    td_m: dict = {}
+    timed_extra(
+        "truss_decomposition",
+        lambda: truss_decomposition(g, cfg, metrics_out=td_m).count(),
+    )
+    extras["truss_decomposition_max_truss"] = td_m.get("max_truss")
     src_min = int(g.vertices.agg(F.min("vid")).collect()[0][0])
     wdf = g.edges.select(
         "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w")

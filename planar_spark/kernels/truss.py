@@ -216,6 +216,114 @@ def _delta_ktruss(
     )
 
 
+def truss_decomposition(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    max_rounds: int = 2000,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """(a, b, truss) for every undirected edge: the truss NUMBER — the
+    largest k such that the edge survives in the k-truss (edges in no
+    triangle get truss 2, the conventional floor). The edge-cohesion
+    companion to kcore.core_decomposition; truss numbers rank link
+    neighborhoods by community strength for spam-farm and template
+    filtering.
+
+    Ascending-k DELTA peeling over ONE materialized triangle list (the
+    ``delta=True`` machinery): at level k, edges with support < k-2
+    are removed (their truss number is k-1), the triangles they close
+    are killed, and only the surviving edges of killed triangles get
+    support decrements. When a level reaches its fixpoint, k advances —
+    a free driver branch. Total decrement work across ALL levels is
+    O(#triangles); the O(#triangles) list held across rounds is the
+    documented memory trade of the delta form. Deterministic.
+    """
+    config = config or EngineConfig()
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+    und = graph.undirected_edges().repartition(parts, "a")
+    tri = releaf(_triangles_of(und).localCheckpoint(eager=True))
+    es = releaf(
+        und.join(_tri_edge_contribs(tri), ["a", "b"], "left")
+        .select("a", "b", F.coalesce("c_n", F.lit(0)).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    obs_n = Observation()
+    es = releaf(
+        es.observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_alive = int(obs_n.get["n"] or 0)
+    assigned: list[DataFrame] = []
+    k = 3
+    rounds = 0
+    for _ in range(max_rounds):
+        if n_alive == 0:
+            break
+        obs_d = Observation()
+        doomed = releaf(
+            es.where(F.col("s") < k - 2)
+            .select("a", "b")
+            .observe(obs_d, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_doomed = int(obs_d.get["n"] or 0)
+        if n_doomed == 0:
+            k += 1  # level fixpoint: every remaining edge is k-truss
+            continue
+        rounds += 1
+        assigned.append(
+            doomed.select("a", "b", F.lit(k - 1).cast("long").alias("truss"))
+        )
+
+        def probe(x, y):
+            d = doomed.select(
+                F.col("a").alias("_da"), F.col("b").alias("_db")
+            )
+            cond = (F.least(tri[x], tri[y]) == d["_da"]) & (
+                F.greatest(tri[x], tri[y]) == d["_db"]
+            )
+            return tri.join(d, cond, "left_semi")
+
+        killed = (
+            probe("x", "y")
+            .unionAll(probe("y", "z"))
+            .unionAll(probe("x", "z"))
+            .distinct()
+        )
+        dec = _tri_edge_contribs(killed)
+        obs_s = Observation()
+        es = releaf(
+            es.join(doomed, ["a", "b"], "left_anti")
+            .join(dec, ["a", "b"], "left")
+            .select(
+                "a", "b",
+                (F.col("s") - F.coalesce("c_n", F.lit(0))).alias("s"),
+            )
+            .observe(obs_s, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_alive = int(obs_s.get["n"] or 0)
+        tri = releaf(
+            tri.join(killed, ["x", "y", "z"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"truss_decomposition: not finished in {max_rounds} rounds; "
+            "raise max_rounds"
+        )
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
+        metrics_out["max_truss"] = k - 1
+    if not assigned:
+        return spark.createDataFrame([], schema="a long, b long, truss long")
+    out = assigned[0]
+    for p in assigned[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def k_truss(
     graph: GraphTables,
     k: int,

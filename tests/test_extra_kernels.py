@@ -310,6 +310,66 @@ def test_ktruss_delta_equals_recompute(spark, config):
     assert m_delta["rounds"] >= 2  # the chain actually cascaded
 
 
+def _py_truss_numbers(edges: np.ndarray) -> dict[tuple[int, int], int]:
+    """Truss number per canonical edge by ascending-k peeling (batch
+    removal per pass, like the kernel — truss numbers are unique)."""
+    und = {tuple(sorted((int(a), int(b)))) for a, b in edges if a != b}
+
+    def support(es):
+        nbrs: dict[int, set[int]] = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(nbrs[a] & nbrs[b]) for a, b in es
+        }
+
+    truss = {}
+    alive = set(und)
+    k = 3
+    while alive:
+        s = support(alive)
+        doomed = [e for e in alive if s[e] < k - 2]
+        if not doomed:
+            k += 1
+            continue
+        for e in doomed:
+            truss[e] = k - 1
+            alive.discard(e)
+    return truss
+
+
+def test_truss_decomposition_matches_python(spark, config):
+    from itertools import combinations
+
+    from planar_spark.kernels.truss import k_truss, truss_decomposition
+
+    cases = [
+        edges_powerlaw(100, m=4, seed=29),
+        np.array(
+            [(a, b) for a, b in combinations(range(5), 2)]
+            + [(4, 5), (4, 6), (5, 6), (5, 7), (6, 7), (6, 8), (7, 8)]
+        ),
+    ]
+    for edges in cases:
+        n = int(edges.max()) + 1
+        g = graph_from_numpy(spark, edges, n)
+        m: dict = {}
+        got = {
+            (r["a"], r["b"]): r["truss"]
+            for r in truss_decomposition(g, config, metrics_out=m).collect()
+        }
+        assert got == _py_truss_numbers(edges)
+        # consistency: edges with truss >= kmax == k_truss(kmax) edge set
+        kmax = m["max_truss"]
+        if kmax >= 3:
+            in_k = {
+                (r["a"], r["b"])
+                for r in k_truss(g, kmax, config).collect()
+            }
+            assert {e for e, t in got.items() if t >= kmax} == in_k
+
+
 def test_ktruss_resume_equals_uninterrupted(spark, tmp_path):
     from planar_spark.config import EngineConfig
     from planar_spark.kernels.truss import k_truss

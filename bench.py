@@ -278,6 +278,14 @@ def main() -> None:
         lambda: truss_decomposition(g, cfg, metrics_out=td_m).count(),
     )
     extras["truss_decomposition_max_truss"] = td_m.get("max_truss")
+    from planar_spark.kernels.densest import densest_subgraph
+
+    ds_m: dict = {}
+    timed_extra(
+        "densest_subgraph",
+        lambda: densest_subgraph(g, cfg, metrics_out=ds_m).count(),
+    )
+    extras["densest_subgraph_density"] = ds_m.get("best_density")
     src_min = int(g.vertices.agg(F.min("vid")).collect()[0][0])
     wdf = g.edges.select(
         "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w")

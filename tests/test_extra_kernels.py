@@ -393,3 +393,54 @@ def test_ktruss_resume_equals_uninterrupted(spark, tmp_path):
     b = sorted(tuple(r) for r in full.collect())
     assert a == b
     assert m["rounds"] >= m_full["rounds"]
+
+
+def _py_densest(edges: np.ndarray, eps: float = 0.1):
+    """Replicates the kernel's deterministic 2(1+eps) peeling exactly."""
+    und = {tuple(sorted((int(a), int(b)))) for a, b in edges if a != b}
+    best = None
+    best_density = -1.0
+    cur = set(und)
+    while cur:
+        verts = {v for e in cur for v in e}
+        density = len(cur) / len(verts)
+        if density > best_density:
+            best_density, best = density, set(verts)
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        thresh = 2.0 * (1.0 + eps) * density
+        keep = {v for v in verts if deg[v] > thresh}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    return best, best_density
+
+
+def test_densest_subgraph_matches_python_and_finds_clique(spark, config):
+    from planar_spark.kernels.densest import densest_subgraph
+
+    # a 10-clique buried in a sparse powerlaw graph: the clique (or a
+    # superset achieving >= its density) must be found
+    from itertools import combinations
+
+    sparse = edges_powerlaw(120, m=1, seed=31)
+    clique = np.array(
+        [(200 + a, 200 + b) for a, b in combinations(range(10), 2)]
+    )
+    bridge = np.array([(0, 200)])
+    edges = np.vstack([sparse, clique, bridge])
+    n = 210
+    g = graph_from_numpy(spark, edges, n)
+    m: dict = {}
+    got = {
+        r["vid"]
+        for r in densest_subgraph(g, config, metrics_out=m).collect()
+        if r["in_densest"] == 1
+    }
+    want_set, want_density = _py_densest(edges)
+    assert got == want_set
+    assert m["best_density"] == pytest.approx(want_density, abs=1e-6)
+    # the 10-clique has density 4.5; the sparse part ~1 — the found
+    # subgraph must reach at least the guaranteed 1/(2(1+eps)) of it
+    assert m["best_density"] >= 4.5 / (2 * 1.1)
+    assert set(range(200, 210)) <= got

@@ -42,7 +42,7 @@ the rounds scale like any BFS kernel at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def hash_vertex_cut(edges: DataFrame, num_partitions: int) -> DataFrame:
@@ -156,6 +156,7 @@ def bfs_grow_labels(
     num_branches: int,
     cap_factor: float = 1.5,
     max_rounds: int = 60,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """(vid, branch) for EVERY vertex: multi-source BFS region growth.
 
@@ -169,6 +170,15 @@ def bfs_grow_labels(
     expanding (soft cap: the round that crosses the cap completes).
     Vertices never reached (other components, or walled off by full
     branches) fill as vid % num_branches.
+
+    ``metrics_out`` (optional dict) receives ``rounds`` (BFS rounds
+    actually run), ``truncated`` (True when max_rounds was exhausted
+    while branches were still growing — the growth was cut short, not
+    converged) and ``fill_fraction`` (share of vertices that got the
+    vid %% b balance-fill instead of a BFS label). A high fill_fraction
+    means the "locality-first" partitioner degraded toward hash
+    partitioning — callers/benches should check it rather than trust
+    the label silently.
     """
     from planar_spark.graph.superstep import releaf
 
@@ -192,9 +202,12 @@ def bfs_grow_labels(
     labels = releaf(seeds.localCheckpoint(eager=True))
     frontier = labels
     sizes = {i: 1 for i in range(b)}
+    rounds = 0
+    truncated = True  # flipped False by any converged exit below
     for _ in range(max_rounds):
         open_branches = [i for i, s in sizes.items() if s < cap]
         if not open_branches:
+            truncated = False
             break
         f = (
             frontier
@@ -209,6 +222,7 @@ def bfs_grow_labels(
             .agg(F.min("branch").alias("branch"))
         )
         new = releaf(grown.localCheckpoint(eager=True))
+        rounds += 1
         # per-branch growth counts: ≤ b scalars to the driver per round
         per_branch = {
             r["branch"]: r["n"]
@@ -217,11 +231,17 @@ def bfs_grow_labels(
             .collect()
         }
         if not per_branch:
+            truncated = False  # no growth anywhere: BFS converged
             break
         for i, n in per_branch.items():
             sizes[i] = sizes.get(i, 0) + int(n)
         labels = releaf(labels.unionAll(new).localCheckpoint(eager=True))
         frontier = new
+    labeled = sum(sizes.values())
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
+        metrics_out["truncated"] = truncated
+        metrics_out["fill_fraction"] = round((nv - labeled) / nv, 6)
     # deterministic balance-fill for stranded vertices
     return graph.vertices.select("vid").join(labels, "vid", "left").select(
         "vid",

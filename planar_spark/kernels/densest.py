@@ -16,11 +16,13 @@ the shape Spark aggregates like. The result is a 2(1+eps) approximation
 of the optimum (their Thm. 1); with a fixed eps the pass sequence and
 the returned iterate are fully deterministic.
 
-Scale notes: per round = one groupBy degree count + one semi-join
-shrink over the CURRENT edge set (geometrically shrinking), with the
-(|V|, |E|) pair riding the materialization as Observations — 2 scalars
-per round to the driver, no standalone counts. State is only the edge
-set; lineage is cut per round via releaf'd localCheckpoints.
+Scale notes: per round = one materialized groupBy degree count (whose
+ROW COUNT is |V(current)|, observed on that same job) + one semi-join
+shrink over the CURRENT edge set (geometrically shrinking, |E| observed
+on its materialization) — 2 jobs and 2 scalars per round to the driver,
+no standalone count actions anywhere. State is only the edge set plus
+the round's degree table; lineage is cut per round via releaf'd
+localCheckpoints.
 """
 
 from __future__ import annotations
@@ -62,30 +64,32 @@ def densest_subgraph(
             "vid", F.lit(0).cast("long").alias("in_densest")
         )
     thresh_factor = 2.0 * (1.0 + eps)
-    # vertex count of the current subgraph = distinct endpoints
-    n = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .distinct()
-        .count()
-    )
-    best_density = m / n
+    best_density = None
     best_edges = und
-    densities = [round(best_density, 6)]
+    densities: list[float] = []
     rounds = 0
-    cur = und
-    cur_m, cur_n = m, n
+    cur, cur_m = und, m
     for _ in range(max_rounds):
-        if cur_m == 0:
-            break
-        rho = cur_m / cur_n
-        deg = (
+        # ONE degree aggregation per pass, materialized: its row count
+        # IS |V(cur)| (distinct endpoints), observed on the same job —
+        # and the materialized table then feeds the keep-filter below,
+        # so the degree work is never recomputed inside the shrink job.
+        obs_n = Observation()
+        deg = releaf(
             cur.select(F.col("a").alias("v"))
             .unionAll(cur.select(F.col("b").alias("v")))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("d"))
+            .observe(obs_n, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        keep = deg.where(F.col("d") > thresh_factor * rho).select("v")
+        cur_n = int(obs_n.get["n"] or 0)
+        density = cur_m / cur_n
+        densities.append(round(density, 6))
+        if best_density is None or density > best_density:
+            best_density = density
+            best_edges = cur
+        keep = deg.where(F.col("d") > thresh_factor * density).select("v")
         ka = keep.select(F.col("v").alias("a"))
         kb = keep.select(F.col("v").alias("b"))
         obs = Observation()
@@ -97,20 +101,9 @@ def densest_subgraph(
         )
         rounds += 1
         new_m = int(obs.get["m"] or 0)
+        cur, cur_m = nxt, new_m
         if new_m == 0:
             break
-        new_n = (
-            nxt.select(F.col("a").alias("v"))
-            .unionAll(nxt.select(F.col("b").alias("v")))
-            .distinct()
-            .count()
-        )
-        density = new_m / new_n
-        densities.append(round(density, 6))
-        if density > best_density:
-            best_density = density
-            best_edges = nxt
-        cur, cur_m, cur_n = nxt, new_m, new_n
     else:
         raise RuntimeError(
             f"densest_subgraph: not finished in {max_rounds} rounds "

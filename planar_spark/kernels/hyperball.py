@@ -444,9 +444,12 @@ def hyperball_centralities(
         dist_total += r * delta_r
 
     and closeness_est = (est_R - 1) / dist_total at the end — the same
-    Wasserman-Faust truncation the exact kernel computes. Deltas are
-    non-negative because HLL registers only grow and the estimator is
-    monotone in the registers.
+    Wasserman-Faust truncation the exact kernel computes. The HLL
+    registers only grow under union, but the Datasketches ESTIMATOR is
+    not strictly monotone across its sparse/dense/bias-corrected mode
+    switches, so a per-round estimate can wobble slightly downward;
+    the delta is clamped at 0 (and prev_est carried as a running max)
+    so estimator wobble can never subtract from harmonic/dist_total.
 
     State stays O(V · sketch_bytes) REGARDLESS of radius — this is the
     100 TB mode; the exact kernels above are its small-radius oracle.
@@ -490,7 +493,7 @@ def hyperball_centralities(
         merged = F.when(F.col("nsk").isNull(), F.col("sk")).otherwise(
             F.hll_union("sk", "nsk")
         )
-        delta = F.col("_est") - F.col("prev_est")
+        delta = F.greatest(F.col("_est") - F.col("prev_est"), F.lit(0.0))
         state = releaf(
             state.join(msgs, "vid", "left")
             .select(
@@ -504,7 +507,9 @@ def hyperball_centralities(
             )
             .select(
                 "vid", "sk",
-                F.col("_est").alias("prev_est"),
+                # running max: a downward estimator wobble must not
+                # lower the baseline future deltas are measured from
+                F.greatest("_est", "prev_est").alias("prev_est"),
                 (F.col("h") + delta / F.lit(float(r))).alias("h"),
                 (F.col("dist_total") + F.lit(float(r)) * delta).alias(
                     "dist_total"

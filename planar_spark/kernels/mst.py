@@ -237,10 +237,13 @@ def boruvka_msf(
         metrics_out["jumps"] = total_jumps
         metrics_out["picked_per_round"] = picked_per_round
     if not forest_parts:
-        schema = (
-            "a long, b long, w long" if weights is not None
-            else "a long, b long"
-        )
+        if weights is not None:
+            # mirror the caller's weight type: an edgeless graph must
+            # return the same w column type as the non-empty path
+            wtype = weights.schema["w"].dataType.simpleString()
+            schema = f"a long, b long, w {wtype}"
+        else:
+            schema = "a long, b long"
         return spark.createDataFrame([], schema=schema)
     out = forest_parts[0]
     for part in forest_parts[1:]:

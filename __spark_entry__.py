@@ -924,6 +924,182 @@ def _kcore_sql() -> str:
     return "\n".join(parts)
 
 
+# Ascending-peel unroll schedules for the decomposition oracles,
+# sized from a driver-side python replica of the peel at BOTH test
+# scales (max of sf0.001/sf0.01 measured per-level rounds, +1
+# idempotent margin — rounds past a level's fixpoint are no-ops):
+#   core:  sf0.001 max_core 7 (16 rounds), sf0.01 max_core 23 (46)
+#   truss: max_truss 4, per-level rounds {3:1, 4:3, 5:1} at both SFs
+#   densest: 5 passes at sf0.001, 9 at sf0.01 (eps=0.1)
+CORE_DECOMP_LEVELS = {
+    1: 1, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 4, 8: 9, 9: 2, 10: 2,
+    11: 2, 12: 2, 13: 2, 14: 2, 15: 2, 16: 2, 17: 2, 18: 4, 19: 3,
+    20: 3, 21: 3, 22: 4, 23: 10, 24: 12,
+}
+TRUSS_DECOMP_LEVELS = {3: 2, 4: 5, 5: 2}
+DENSEST_UNROLL = 11
+
+
+def _core_decomp_sql() -> str:
+    """Unrolled ascending-k core-number oracle: level k's fixpoint
+    k-core is peeled from the (k-1)-core final set (the kernel's exact
+    schedule — kcore.core_decomposition), and a vertex's core number is
+    the largest k whose final k-core contains it (0 fill via the verts
+    left join)."""
+    parts = [
+        f"WITH {_EDGES},",
+        _UND + ",",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM u"
+        " UNION ALL SELECT b, a FROM u),",
+        "c0 AS MATERIALIZED (SELECT vid FROM verts)",
+    ]
+    prev = "c0"
+    finals = []
+    for k, nrounds in sorted(CORE_DECOMP_LEVELS.items()):
+        for r in range(1, nrounds + 1):
+            name = f"c{k}_{r}"
+            parts.append(
+                f", {name} AS MATERIALIZED (SELECT s.src AS vid FROM sym s"
+                f" JOIN {prev} x ON s.src = x.vid"
+                f" JOIN {prev} y ON s.dst = y.vid"
+                f" GROUP BY s.src HAVING COUNT(*) >= {k})"
+            )
+            prev = name
+        finals.append((k, prev))
+    tags = " UNION ALL ".join(
+        f"SELECT vid, {k} AS k FROM {fin}" for k, fin in finals
+    )
+    parts.append(f", ctags AS MATERIALIZED ({tags})")
+    parts.append(
+        "SELECT v.vid, CAST(COALESCE(t.core, 0) AS BIGINT) AS core"
+        " FROM verts v LEFT JOIN"
+        " (SELECT vid, MAX(k) AS core FROM ctags GROUP BY vid) t"
+        " ON v.vid = t.vid"
+    )
+    return "\n".join(parts)
+
+
+def _truss_decomp_sql() -> str:
+    """Unrolled ascending-k truss-number oracle: level k's fixpoint
+    k-truss is support-peeled from the (k-1)-truss final edge set (the
+    _ktruss_sql round shape per peel round), and an edge's truss number
+    is the largest k whose final k-truss contains it (floor 2 — every
+    undirected edge is trivially in the 2-truss)."""
+    parts = [
+        f"WITH {_EDGES},",
+        _UND + ",",
+        "e2f AS MATERIALIZED (SELECT a, b FROM u)",
+    ]
+    prev = "e2f"
+    finals = [(2, "e2f")]
+    for k, nrounds in sorted(TRUSS_DECOMP_LEVELS.items()):
+        for r in range(1, nrounds + 1):
+            t, s, e = f"tt{k}_{r}", f"ts{k}_{r}", f"te{k}_{r}"
+            parts.append(
+                f", {t} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y,"
+                f" e2.b AS z FROM {prev} e1 JOIN {prev} e2 ON e1.b = e2.a"
+                f" JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+            )
+            parts.append(
+                f", {s} AS MATERIALIZED (SELECT a, b, COUNT(*) AS s FROM ("
+                f"SELECT x AS a, y AS b FROM {t}"
+                f" UNION ALL SELECT y AS a, z AS b FROM {t}"
+                f" UNION ALL SELECT x AS a, z AS b FROM {t}) GROUP BY a, b)"
+            )
+            parts.append(
+                f", {e} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e"
+                f" JOIN {s} s ON e.a = s.a AND e.b = s.b"
+                f" WHERE s.s >= {k - 2})"
+            )
+            prev = e
+        finals.append((k, prev))
+    tags = " UNION ALL ".join(
+        f"SELECT a, b, {k} AS k FROM {fin}" for k, fin in finals
+    )
+    parts.append(f", ttags AS MATERIALIZED ({tags})")
+    parts.append(
+        "SELECT a, b, CAST(MAX(k) AS BIGINT) AS truss"
+        " FROM ttags GROUP BY a, b"
+    )
+    return "\n".join(parts)
+
+
+def _densest_sql(rounds: int = DENSEST_UNROLL, eps: float = 0.1) -> str:
+    """Unrolled Bahmani 2(1+eps) peeling oracle: per pass, density
+    m/n of the current edge set (both computed as exact integer counts,
+    divided as doubles — bit-identical to the kernel's python floats),
+    then keep vertices with degree > 2(1+eps)·density and semi-join
+    both endpoints. The returned iterate is the FIRST pass achieving
+    the max density (ORDER BY density DESC, r ASC — the kernel's
+    strict-greater update). NULLIF guards the over-unrolled empty
+    passes, which the m>0 filter drops from the density race."""
+    tf = repr(2.0 * (1.0 + eps))
+    parts = [
+        f"WITH {_EDGES},",
+        _UND + ",",
+        "de0 AS MATERIALIZED (SELECT a, b FROM u)",
+    ]
+    dens_legs, mem_legs = [], []
+    for r in range(rounds):
+        parts.append(
+            f", dg{r} AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM ("
+            f"SELECT a AS v FROM de{r} UNION ALL SELECT b FROM de{r})"
+            f" GROUP BY v)"
+        )
+        parts.append(
+            f", dst{r} AS MATERIALIZED (SELECT"
+            f" (SELECT COUNT(*) FROM de{r}) AS m,"
+            f" (SELECT COUNT(*) FROM dg{r}) AS n)"
+        )
+        parts.append(
+            f", de{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM de{r} e"
+            f" JOIN dg{r} da ON e.a = da.v JOIN dg{r} db ON e.b = db.v"
+            f" CROSS JOIN dst{r} s"
+            f" WHERE da.d > {tf} * (CAST(s.m AS DOUBLE) / NULLIF(s.n, 0))"
+            f" AND db.d > {tf} * (CAST(s.m AS DOUBLE) / NULLIF(s.n, 0)))"
+        )
+        dens_legs.append(
+            f"SELECT {r} AS r, CAST(m AS DOUBLE) / n AS density"
+            f" FROM dst{r} WHERE m > 0"
+        )
+        mem_legs.append(
+            f"SELECT {r} AS r, a AS v FROM de{r}"
+            f" UNION ALL SELECT {r}, b FROM de{r}"
+        )
+    parts.append(
+        ", ddens AS MATERIALIZED (" + " UNION ALL ".join(dens_legs) + ")"
+    )
+    parts.append(
+        ", dbest AS MATERIALIZED (SELECT r FROM ddens"
+        " ORDER BY density DESC, r ASC LIMIT 1)"
+    )
+    parts.append(
+        ", dmem AS MATERIALIZED (SELECT DISTINCT p.v FROM ("
+        + " UNION ALL ".join(mem_legs)
+        + ") p JOIN dbest ON p.r = dbest.r)"
+    )
+    parts.append(
+        "SELECT v.vid, CAST(CASE WHEN dmem.v IS NOT NULL THEN 1 ELSE 0 END"
+        " AS BIGINT) AS in_densest"
+        " FROM verts v LEFT JOIN dmem ON v.vid = dmem.v"
+    )
+    return "\n".join(parts)
+
+
+def _decomposition_profile_sql() -> str:
+    """The three decomposition kernels melted to one
+    (kind, k1, k2, value) gate — each leg is its standalone oracle as a
+    CTE-in-subquery (the graph_profile consolidation pattern)."""
+    return f"""SELECT 'core' AS kind, vid AS k1, CAST(-1 AS BIGINT) AS k2,
+       core AS value
+FROM ({_core_decomp_sql()})
+UNION ALL
+SELECT 'truss', a, b, truss FROM ({_truss_decomp_sql()})
+UNION ALL
+SELECT 'densest', vid, CAST(-1 AS BIGINT), in_densest
+FROM ({_densest_sql()})"""
+
+
 def _coloring_sql() -> str:
     """Unrolled deterministic Luby-style speculative coloring oracle
     (graph8), mirroring kernels/coloring.py round-exactly: per round,
@@ -1532,9 +1708,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vid", "triangles", "udeg", F.round("lcc", 6).alias("lcc")
         )
 
-    def q_out_degrees(spark, sf_dir):
+    def q_decomposition_profile(spark, sf_dir):
+        # consolidated gate (r6): the three decomposition kernels
+        # melted to (kind, k1, k2, value) — core numbers (per vid),
+        # truss numbers (per undirected edge) and the densest-subgraph
+        # membership, one hard value-hash for all three ascending-peel
+        # kernels (k2 = -1 fill on the vertex-keyed legs).
+        from planar_spark.kernels.densest import densest_subgraph
+        from planar_spark.kernels.kcore import core_decomposition
+        from planar_spark.kernels.truss import truss_decomposition
+
         g = _graph(spark, sf_dir)
-        return g.degrees.select("vid", "out_deg")
+        cfg = _cfg()
+        core = core_decomposition(g, cfg).select(
+            F.lit("core").alias("kind"),
+            F.col("vid").alias("k1"),
+            F.lit(-1).cast("long").alias("k2"),
+            F.col("core").cast("long").alias("value"),
+        )
+        truss = truss_decomposition(g, cfg).select(
+            F.lit("truss").alias("kind"),
+            F.col("a").alias("k1"),
+            F.col("b").alias("k2"),
+            F.col("truss").cast("long").alias("value"),
+        )
+        dens = densest_subgraph(g, cfg).select(
+            F.lit("densest").alias("kind"),
+            F.col("vid").alias("k1"),
+            F.lit(-1).cast("long").alias("k2"),
+            F.col("in_densest").cast("long").alias("value"),
+        )
+        return core.unionAll(truss).unionAll(dens)
 
     def q_graph_profile(spark, sf_dir):
         # consolidated gate (r5): the one-pass graph profile — degree
@@ -1592,11 +1796,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return h.unionAll(r).unionAll(p).unionAll(a)
 
     def q_two_hop_stats(spark, sf_dir):
-        # consolidated gate (r5): the one-hop WriteMin accessor joins
-        # in on vid (every vertex with a 2-hop path has out-edges, so
-        # the inner join keeps exactly the two-hop row set)
+        # consolidated gate (r5: one-hop WriteMin; r6: P20's out-degree
+        # accessor folds in too, widening the gate to ALL vertices —
+        # -1 fill where a vertex has no 2-hop path / no out-neighbor,
+        # so one hard value-hash covers two-hop, one-hop AND degrees)
+        # the three legs join INDEPENDENTLY: a vertex whose only
+        # neighbors are sinks has one-hop/degree rows but no two-hop
+        # row, so chaining through the two-hop set would drop them
         g = _graph(spark, sf_dir)
-        return two_hop_stats(g).join(one_hop_min(g), "vid")
+        return (
+            g.vertices.select("vid")
+            .join(two_hop_stats(g), "vid", "left")
+            .join(one_hop_min(g), "vid", "left")
+            .join(g.degrees.select("vid", "out_deg"), "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("min_two_hop", F.lit(-1)).alias("min_two_hop"),
+                F.coalesce("max_two_hop", F.lit(-1)).alias("max_two_hop"),
+                F.coalesce("min_nbr", F.lit(-1)).alias("min_nbr"),
+                F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            )
+        )
 
     def q_sssp(spark, sf_dir):
         g = _graph(spark, sf_dir)
@@ -1936,6 +2156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   ngram_jaccard                      -> dropped as a standalone
     #     key: dedup_near_clusters's oracle value-hashes the LSH ->
     #     jaccard rerank end-to-end; kernel pytest remains.
+    # r6: out_degrees                      -> two_hop_stats (full-vertex
+    #     left join carries out_deg), freeing one slot for the new
+    #     decomposition_profile gate (core/truss numbers + densest).
     # §2-canonical kernels lead so they can never rotate out.
     return {
         "pagerank": q_pagerank,
@@ -1965,7 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": q_local_clustering,
         "graph_profile": q_graph_profile,
         "edge_sample": q_edge_sample,
-        "out_degrees": q_out_degrees,
+        "decomposition_profile": q_decomposition_profile,
         "two_hop_stats": q_two_hop_stats,
         "khop_risk": q_khop_risk,
         "random_walk": q_random_walk,
@@ -2111,11 +2334,7 @@ SELECT t.vid, t.triangles, COALESCE(ud.udeg, CAST(0 AS BIGINT)) AS udeg,
             THEN ROUND(t.triangles * 2.0 / (ud.udeg * (ud.udeg - 1)), 6)
             ELSE 0.0 END AS lcc
 FROM tc t LEFT JOIN ud ON t.vid = ud.vid""",
-        "out_degrees": f"""WITH {_EDGES}
-SELECT v.vid, COALESCE(g.outdeg, CAST(0 AS BIGINT)) AS out_deg
-FROM verts v
-LEFT JOIN (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src) g
-ON v.vid = g.vid""",
+        "decomposition_profile": _decomposition_profile_sql(),
         # consolidated r5: the four graphstats kernels melted to
         # (stat, key, value), one hard gate — the run_kernel `stats`
         # kernel shape. Each leg is the former standalone oracle as a
@@ -2166,7 +2385,8 @@ SELECT u.k, u.v FROM a0 CROSS JOIN LATERAL (
     SELECT 'n_ends' AS k, CAST(a0.n_ends AS DOUBLE) AS v
     UNION ALL SELECT 'pearson_r', CAST(a0.assortativity AS DOUBLE)
 ) u)""",
-        # consolidated r5: one-hop WriteMin joined into the two-hop gate
+        # consolidated r5: one-hop WriteMin joined into the two-hop
+        # gate; r6: out-degrees fold in too (full-vertex, -1/-0 fills)
         "two_hop_stats": f"""WITH {_EDGES},
 mid_stats AS MATERIALIZED (
     SELECT src AS mid, MIN(dst) AS mn, MAX(dst) AS mx FROM edges GROUP BY src
@@ -2177,9 +2397,19 @@ th AS MATERIALIZED (
 ),
 oh AS MATERIALIZED (
     SELECT src AS vid, MIN(dst) AS min_nbr FROM edges GROUP BY src
+),
+dg AS MATERIALIZED (
+    SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src
 )
-SELECT th.vid, th.min_two_hop, th.max_two_hop, oh.min_nbr
-FROM th JOIN oh ON th.vid = oh.vid""",
+SELECT v.vid,
+       COALESCE(th.min_two_hop, -1) AS min_two_hop,
+       COALESCE(th.max_two_hop, -1) AS max_two_hop,
+       COALESCE(oh.min_nbr, -1) AS min_nbr,
+       COALESCE(dg.outdeg, CAST(0 AS BIGINT)) AS out_deg
+FROM verts v
+LEFT JOIN th ON v.vid = th.vid
+LEFT JOIN oh ON v.vid = oh.vid
+LEFT JOIN dg ON v.vid = dg.vid""",
         "sssp": _sssp_sql(),
         "khop_risk": f"""WITH {_EDGES},
 sv AS (SELECT vid, CASE WHEN vid % 17 = 0 THEN 1 ELSE 0 END AS seed FROM verts),

@@ -37,6 +37,7 @@ KERNELS = (
     "msf", "coloring", "khop", "randomwalk", "kcore",
     "scc", "hits", "ppr", "lcc", "bowtie", "stats", "diameter", "ktruss",
     "wsssp", "wmsf", "centralities", "node2vec", "triads",
+    "coredecomp", "trussdecomp", "densest",
 )
 
 
@@ -244,6 +245,22 @@ def main() -> None:
         from planar_spark.kernels.graphstats import triad_census
 
         out, meta = triad_census(g, cfg), None
+    elif args.kernel == "coredecomp":
+        from planar_spark.kernels.kcore import core_decomposition
+
+        out, meta = core_decomposition(
+            g, cfg, run_id=args.run_id, resume=args.resume
+        ), None
+    elif args.kernel == "trussdecomp":
+        from planar_spark.kernels.truss import truss_decomposition
+
+        out, meta = truss_decomposition(
+            g, cfg, run_id=args.run_id, resume=args.resume
+        ), None
+    elif args.kernel == "densest":
+        from planar_spark.kernels.densest import densest_subgraph
+
+        out, meta = densest_subgraph(g, cfg), None
     elif args.kernel == "wsssp":
         from planar_spark.kernels.sssp import weighted_sssp
 

@@ -159,6 +159,9 @@ def core_decomposition(
     config: EngineConfig | None = None,
     max_rounds: int = 2000,
     metrics_out: dict | None = None,
+    truncate_every: int = 8,
+    run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(vid, core) for ALL vertices: the core NUMBER — the largest k
     such that vid survives in the k-core. The graph-profiling
@@ -174,20 +177,53 @@ def core_decomposition(
     branch — no extra job). Total work = Σ frontier edges over ALL
     levels ≈ O(E) decrements overall, plus one tiny driver scalar per
     round. Deterministic (core numbers are unique).
+
+    Assignments accumulate on ONE running (vid, core) table whose
+    lineage (and the per-round frontier leaves it references) is cut
+    every ``truncate_every`` rounds — never a leaf pinned per round,
+    this is the longest loop in the repo (~2× max_core rounds).
+
+    Durable resume: with ``config.checkpoint_dir`` set, the peeling
+    state (vid, deg), the running assignments AND the driver counters
+    (rounds, current level k, n_alive) are written through
+    LoopCheckpointer every ``config.checkpoint_every``-th removal
+    round; ``resume=True`` with the same ``run_id`` re-enters the
+    ascending peel at the newest completed round (level advances
+    between saves replay idempotently — an empty-frontier probe is
+    free).
     """
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
     spark = graph.spark
     sym = graph.symmetric_edges().repartition(parts, "src").persist()
-    state = sym.groupBy(F.col("src").alias("vid")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).persist()
-    n_alive = state.count()
+    ckpt = LoopCheckpointer(spark, config, "core_decomp", run_id=run_id)
 
-    assigned_parts: list[DataFrame] = []
+    state = None
+    assigned = None
     k = 1
     rounds = 0
     levels: list[int] = []
+    n_alive = 0
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, m = latest
+            state = tables["state"].repartition(parts, "vid").persist()
+            state.count()
+            assigned = releaf(
+                tables["assigned"].localCheckpoint(eager=True)
+            )
+            k = int(m.get("k", 1))
+            rounds = int(m.get("rounds", _rnd))
+            levels = list(m.get("levels", []))
+            n_alive = int(m.get("n_alive", 0))
+    if state is None:
+        state = sym.groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ).persist()
+        n_alive = state.count()
+        assigned = spark.createDataFrame([], schema="vid long, core long")
+
     for _ in range(max_rounds):
         if n_alive == 0:
             break
@@ -204,7 +240,7 @@ def core_decomposition(
             k += 1  # level fixpoint: everything left is in the k-core
             continue
         rounds += 1
-        assigned_parts.append(
+        assigned = assigned.unionAll(
             removed.select("vid", F.lit(k - 1).cast("long").alias("core"))
         )
         rm_src = removed.select(F.col("vid").alias("src"))
@@ -221,14 +257,31 @@ def core_decomposition(
                 (F.col("deg") - F.coalesce("lost", F.lit(0))).alias("deg"),
             )
         )
-        if rounds % 8 == 0:
+        if rounds % max(1, truncate_every) == 0:
             new_state = releaf(
                 new_state.localCheckpoint(eager=True)
             ).repartition(parts, "vid")
+            # cut the assignment lineage too: releases the union chain
+            # AND the per-round frontier leaves it references
+            assigned = releaf(assigned.localCheckpoint(eager=True))
         new_state = new_state.persist()
         n_alive = new_state.count()
         state.unpersist()
         state = new_state
+        if ckpt.due(rounds):
+            saved = ckpt.save(
+                rounds,
+                {"state": state, "assigned": assigned},
+                {
+                    "rounds": rounds,
+                    "k": k,
+                    "levels": levels,
+                    "n_alive": n_alive,
+                },
+            )
+            # root the running assignments at the durable copy — the
+            # strongest lineage cut; state keeps its persisted copy
+            assigned = saved["assigned"]
     else:
         raise RuntimeError(
             f"core_decomposition: not finished in {max_rounds} rounds; "
@@ -240,13 +293,7 @@ def core_decomposition(
         metrics_out["rounds"] = rounds
         metrics_out["max_core"] = k - 1
         metrics_out["levels"] = levels
-    if assigned_parts:
-        assigned = assigned_parts[0]
-        for p in assigned_parts[1:]:
-            assigned = assigned.unionAll(p)
-        assigned = releaf(assigned.localCheckpoint(eager=True))
-    else:
-        assigned = spark.createDataFrame([], schema="vid long, core long")
+    assigned = releaf(assigned.localCheckpoint(eager=True))
     # vertices with no undirected edges never entered the state: core 0
     return (
         graph.vertices.select("vid")

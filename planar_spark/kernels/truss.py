@@ -221,6 +221,9 @@ def truss_decomposition(
     config: EngineConfig | None = None,
     max_rounds: int = 2000,
     metrics_out: dict | None = None,
+    truncate_every: int = 8,
+    run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(a, b, truss) for every undirected edge: the truss NUMBER — the
     largest k such that the edge survives in the k-truss (edges in no
@@ -237,26 +240,57 @@ def truss_decomposition(
     a free driver branch. Total decrement work across ALL levels is
     O(#triangles); the O(#triangles) list held across rounds is the
     documented memory trade of the delta form. Deterministic.
+
+    Assignments accumulate on ONE running (a, b, truss) table whose
+    lineage (and the per-round doomed-edge leaves it references) is
+    cut every ``truncate_every`` rounds — no leaf pinned per round.
+
+    Durable resume: with ``config.checkpoint_dir`` set, the full loop
+    state — surviving edges with supports (es), the remaining triangle
+    list (tri), the running assignments AND the driver counters — is
+    written through LoopCheckpointer every
+    ``config.checkpoint_every``-th removal round; ``resume=True`` with
+    the same ``run_id`` re-enters the ascending peel at the newest
+    completed round (level advances between saves replay idempotently).
     """
     config = config or EngineConfig()
     spark = graph.spark
     parts = config.partitions_for(spark)
-    und = graph.undirected_edges().repartition(parts, "a")
-    tri = releaf(_triangles_of(und).localCheckpoint(eager=True))
-    es = releaf(
-        und.join(_tri_edge_contribs(tri), ["a", "b"], "left")
-        .select("a", "b", F.coalesce("c_n", F.lit(0)).alias("s"))
-        .localCheckpoint(eager=True)
-    )
-    obs_n = Observation()
-    es = releaf(
-        es.observe(obs_n, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    n_alive = int(obs_n.get["n"] or 0)
-    assigned: list[DataFrame] = []
+    ckpt = LoopCheckpointer(spark, config, "truss_decomp", run_id=run_id)
+
+    es = tri = assigned = None
     k = 3
     rounds = 0
+    n_alive = 0
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, m = latest
+            es = releaf(
+                tables["es"].repartition(parts, "a")
+                .localCheckpoint(eager=True)
+            )
+            tri = releaf(tables["tri"].localCheckpoint(eager=True))
+            assigned = releaf(
+                tables["assigned"].localCheckpoint(eager=True)
+            )
+            k = int(m.get("k", 3))
+            rounds = int(m.get("rounds", _rnd))
+            n_alive = int(m.get("n_alive", 0))
+    if es is None:
+        und = graph.undirected_edges().repartition(parts, "a")
+        tri = releaf(_triangles_of(und).localCheckpoint(eager=True))
+        obs_n = Observation()
+        es = releaf(
+            und.join(_tri_edge_contribs(tri), ["a", "b"], "left")
+            .select("a", "b", F.coalesce("c_n", F.lit(0)).alias("s"))
+            .observe(obs_n, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_alive = int(obs_n.get["n"] or 0)
+        assigned = spark.createDataFrame(
+            [], schema="a long, b long, truss long"
+        )
     for _ in range(max_rounds):
         if n_alive == 0:
             break
@@ -272,7 +306,7 @@ def truss_decomposition(
             k += 1  # level fixpoint: every remaining edge is k-truss
             continue
         rounds += 1
-        assigned.append(
+        assigned = assigned.unionAll(
             doomed.select("a", "b", F.lit(k - 1).cast("long").alias("truss"))
         )
 
@@ -308,6 +342,20 @@ def truss_decomposition(
             tri.join(killed, ["x", "y", "z"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        if rounds % max(1, truncate_every) == 0:
+            # cut the assignment lineage: releases the union chain AND
+            # the per-round doomed-edge leaves it references
+            assigned = releaf(assigned.localCheckpoint(eager=True))
+        if ckpt.due(rounds):
+            saved = ckpt.save(
+                rounds,
+                {"es": es, "tri": tri, "assigned": assigned},
+                {"rounds": rounds, "k": k, "n_alive": n_alive},
+            )
+            # root the loop at the durable copies (lineage truncation)
+            es = releaf(saved["es"].localCheckpoint(eager=True))
+            tri = releaf(saved["tri"].localCheckpoint(eager=True))
+            assigned = saved["assigned"]
     else:
         raise RuntimeError(
             f"truss_decomposition: not finished in {max_rounds} rounds; "
@@ -316,12 +364,7 @@ def truss_decomposition(
     if metrics_out is not None:
         metrics_out["rounds"] = rounds
         metrics_out["max_truss"] = k - 1
-    if not assigned:
-        return spark.createDataFrame([], schema="a long, b long, truss long")
-    out = assigned[0]
-    for p in assigned[1:]:
-        out = out.unionAll(p)
-    return out
+    return assigned
 
 
 def k_truss(

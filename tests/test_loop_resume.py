@@ -121,6 +121,57 @@ def test_kcore_resume_equals_uninterrupted(spark, tmp_path):
     assert len(m["frontier_sizes"]) == m["rounds"] and m["rounds"] > 2
 
 
+def test_core_decomposition_resume_equals_uninterrupted(spark, tmp_path):
+    from planar_spark.kernels.kcore import core_decomposition
+
+    # a 20-path peels one endpoint pair per round at level 2 (~10
+    # removal rounds), so max_rounds=3 crashes mid-level AFTER durable
+    # rounds 1-2 were sealed (checkpoint_every=1)
+    edges = np.array([(i, i + 1) for i in range(19)])
+    g = graph_from_numpy(spark, edges, 20)
+    cfg = _cfg(tmp_path)
+    with pytest.raises(RuntimeError):
+        core_decomposition(g, cfg, max_rounds=3, run_id="cd1")
+    m: dict = {}
+    resumed = core_decomposition(
+        g, cfg, run_id="cd1", resume=True, metrics_out=m
+    )
+    full = core_decomposition(g, cfg)
+    assert _rows(resumed) == _rows(full)
+    # a path has an empty 2-core: every vertex has core number 1
+    assert {r["core"] for r in resumed.collect()} == {1}
+    # the resumed run continued the peel, it did not restart round 0
+    assert m["rounds"] == 10
+
+
+def test_truss_decomposition_resume_equals_uninterrupted(spark, tmp_path):
+    from planar_spark.kernels.truss import truss_decomposition
+
+    # band graph (i,i+1)+(i,i+2): a 3-truss whose level-4 peel cascades
+    # from the boundary inward over several rounds; max_rounds=2 allows
+    # the level-3 fixpoint probe + exactly one removal round, crashing
+    # AFTER durable round 1 was sealed
+    n = 12
+    edges = np.array(
+        [(i, i + 1) for i in range(n - 1)]
+        + [(i, i + 2) for i in range(n - 2)]
+    )
+    g = graph_from_numpy(spark, edges, n)
+    cfg = _cfg(tmp_path)
+    with pytest.raises(RuntimeError):
+        truss_decomposition(g, cfg, max_rounds=2, run_id="td1")
+    m: dict = {}
+    resumed = truss_decomposition(
+        g, cfg, run_id="td1", resume=True, metrics_out=m
+    )
+    full = truss_decomposition(g, cfg)
+    assert _rows(resumed) == _rows(full)
+    # the band graph is a maximal 3-truss: every edge gets truss 3
+    assert {r["truss"] for r in resumed.collect()} == {3}
+    assert resumed.count() == len(edges)
+    assert m["rounds"] >= 2  # counters restored AND advanced
+
+
 def test_loop_ckpt_ignores_incomplete_round(spark, tmp_path):
     """A round dir without its completion marker (killed mid-write)
     must be invisible to latest()."""

@@ -398,15 +398,22 @@ def main() -> None:
         )
         # sketch-mode effective diameter at radius 4: the exact mode's
         # pair materialization is infeasible at this depth/scale; the
-        # HyperBall profile rides Observations (no extra actions)
+        # HyperBall profile rides Observations (no extra actions).
+        # Runs at the global profile's lgK=8 default — the r5 "3× per
+        # round" mystery was HLL densification at r>=3 (measured lgK=10
+        # round secs [11, 13, 70, 100] vs flat ~3s at lgK=8, diameter
+        # value identical to 1e-5; hyperball.py module doc) — and the
+        # per-round secs ride along so the attribution stays measured.
         from planar_spark.kernels.hyperball import effective_diameter_approx
 
+        ed_m: dict = {}
         timed_big(
             "eff_diameter_sketch_r4_sec",
             lambda: effective_diameter_approx(
-                bg, 4, q=0.9, config=cfg, lg_config_k=10
+                bg, 4, q=0.9, config=cfg, metrics_out=ed_m
             ).count(),
         )
+        big["eff_diameter_sketch_round_secs"] = ed_m.get("round_secs")
         # node2vec training-corpus generation at scale: 4 biased walks
         # per start (~33k starts in the 2^20-vid space at mod 31)
         from planar_spark.kernels.neighborhood import node2vec_walk

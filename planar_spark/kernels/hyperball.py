@@ -27,6 +27,8 @@ by the error-bound pytest (same pattern as embedding ANN vs exact).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
@@ -320,7 +322,8 @@ def hyperball_nf_profile(
     graph: GraphTables,
     radius: int,
     config: EngineConfig | None = None,
-    lg_config_k: int = 12,
+    lg_config_k: int = 8,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """(r, total_nf_est): the GLOBAL neighborhood function per radius
     0..radius from HyperBall sketches — Σ_v |B(v, r)| estimated, the
@@ -331,7 +334,22 @@ def hyperball_nf_profile(
     estimates — the [[observation-metrics-trick]] discipline), so the
     profile costs exactly the HyperBall supersteps. State stays
     O(V · sketch_bytes) at any radius; the exact distance_histogram is
-    the small-radius oracle (pytest-matched in sparse-exact range)."""
+    the small-radius oracle (pytest-matched in sparse-exact range).
+
+    PER-ROUND COST IS NOT CONSTANT IN r: ball sizes grow ~(avg deg)^r,
+    so by r=3-4 most sketches leave Datasketches' sparse-exact range
+    and densify to the full 2^lg_config_k register array — union work
+    and shuffled sketch bytes grow accordingly. Measured on the bench
+    big graph (9.6M edges) at lgK=10: per-round secs [11.1, 13.1,
+    70.2, 100.3] — rounds 1-2 equal plain ``hyperball``'s per-round
+    cost, rounds 3-4 are pure densification. That is why THIS GLOBAL
+    profile defaults to ``lg_config_k=8`` (unlike the per-vertex
+    sketches above): per-vertex error (~6.5% at lgK=8) averages out in
+    the Σ_v sum — same graph, lgK=8 measured [2.9, 2.6, 3.5, 3.4] s
+    per round (15× faster end-to-end) with the interpolated effective
+    diameter agreeing with lgK=10 to 1e-5 (3.887657 vs 3.887669).
+    ``metrics_out['round_secs']`` reports per-round wall time so
+    benches keep attributing cost to the radius."""
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
 
@@ -352,7 +370,9 @@ def hyperball_nf_profile(
         .localCheckpoint(eager=True)
     )
     profile = [(0, float(obs0.get["nf"] or 0.0))]
+    round_secs: list[float] = []
     for r in range(1, radius + 1):
+        t0 = time.time()
         msgs = (
             rev.join(state.withColumnRenamed("vid", "src"), "src")
             .groupBy(F.col("dst").alias("vid"))
@@ -371,7 +391,11 @@ def hyperball_nf_profile(
             .localCheckpoint(eager=True)
         )
         profile.append((r, float(obs.get["nf"] or 0.0)))
+        round_secs.append(round(time.time() - t0, 3))
     rev.unpersist()
+    if metrics_out is not None:
+        metrics_out["round_secs"] = round_secs
+        metrics_out["profile"] = [(r, round(v, 1)) for r, v in profile]
     return graph.spark.createDataFrame(
         profile, schema="r long, total_nf_est double"
     )
@@ -382,7 +406,8 @@ def effective_diameter_approx(
     radius: int,
     q: float = 0.9,
     config: EngineConfig | None = None,
-    lg_config_k: int = 12,
+    lg_config_k: int = 8,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """One row (q, eff_diameter): interpolated effective diameter from
     the HyperBall neighborhood-function profile — the sketch-mode
@@ -394,8 +419,9 @@ def effective_diameter_approx(
     within the truncation radius), mirroring the exact kernel."""
     prof = {
         int(r["r"]): float(r["total_nf_est"])
-        for r in hyperball_nf_profile(graph, radius, config, lg_config_k)
-        .collect()
+        for r in hyperball_nf_profile(
+            graph, radius, config, lg_config_k, metrics_out=metrics_out
+        ).collect()
     }
     if not prof or max(prof.values()) <= 0.0:
         return graph.spark.createDataFrame(

@@ -270,6 +270,36 @@ def main() -> None:
         "ktruss_delta",
         lambda: k_truss(g, k=4, config=cfg, delta=True).count(),
     )
+    # ...and the same head-to-head on a DEEP cascade (geometric-
+    # gradient fixture peels ~19 rounds at k=8) — the regime the delta
+    # form exists for. Together with the two shallow web-shape rows
+    # above this encodes the measured crossover in every bench run:
+    # recompute wins shallow peels, delta wins deep ones.
+    import pandas as pd
+
+    from planar_spark.ingest.pages import edges_geometric_gradient
+
+    casc_pdf = pd.DataFrame(
+        edges_geometric_gradient(), columns=["src", "dst"]
+    )
+    gc = GraphTables.from_edges(spark.createDataFrame(casc_pdf), parts)
+    extras["ktruss_cascade_edges"] = gc.num_edges
+    extras["ktruss_cascade_probe_sec"] = mem_probe()
+    kt_cm: dict = {}
+    timed_extra(
+        "ktruss_cascade",
+        lambda: k_truss(
+            gc, k=8, config=cfg, max_rounds=300, metrics_out=kt_cm
+        ).count(),
+    )
+    extras["ktruss_cascade_rounds"] = kt_cm.get("rounds")
+    timed_extra(
+        "ktruss_cascade_delta",
+        lambda: k_truss(
+            gc, k=8, config=cfg, max_rounds=300, delta=True
+        ).count(),
+    )
+    gc.unpersist()
     from planar_spark.kernels.truss import truss_decomposition
 
     td_m: dict = {}

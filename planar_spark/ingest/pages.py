@@ -90,6 +90,35 @@ def edges_powerlaw(n: int, m: int = 3, seed: int = 42) -> np.ndarray:
     )
 
 
+def edges_geometric_gradient(
+    n: int = 20000, r0: float = 0.016, seed: int = 3
+) -> np.ndarray:
+    """Deterministic random geometric graph with a density gradient
+    (points concentrated toward x=0 via a power warp), undirected-
+    unique (a < b) edges. Its truss peel cascades DEEP — ~19 rounds at
+    k=8 with long single-digit-frontier tails at the defaults — unlike
+    web/power-law graphs whose peels finish in 1-2 rounds, so it is
+    the fixture that exercises the many-round regime where the k-truss
+    delta-peeling form wins (see kernels/truss.py module doc).
+    Grid-binned neighbor search keeps generation O(n * avg_degree)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 2)) ** np.array([[1.7, 1.0]])
+    cell: dict[tuple[int, int], list[int]] = {}
+    for i, (x, y) in enumerate(pts):
+        cell.setdefault((int(x / r0), int(y / r0)), []).append(i)
+    out = []
+    for (cx, cy), ids in cell.items():
+        cand: list[int] = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand += cell.get((cx + dx, cy + dy), [])
+        for i in ids:
+            for j in cand:
+                if i < j and np.sum((pts[i] - pts[j]) ** 2) <= r0 * r0:
+                    out.append((i, j))
+    return np.array(sorted(out), dtype=np.int64)
+
+
 def with_self_loops(edges: np.ndarray, vids: list[int]) -> np.ndarray:
     loops = np.array([(v, v) for v in vids], dtype=np.int64)
     return np.concatenate([edges, loops])

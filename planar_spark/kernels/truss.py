@@ -32,16 +32,24 @@ number of rounds (peeling cascades are shallow on web graphs; the
 round count is reported via metrics_out and sized into the oracle
 unroll).
 
-``delta=True`` switches to the DELTA-PEELING variant: triangles are
-enumerated ONCE, then each round only (1) finds the triangles touching
-a just-deleted edge (three semi-join-shaped probes of the triangle
-list against the small doomed-edge set), (2) decrements the supports
-of their surviving edges, and (3) anti-joins the killed triangles and
-doomed edges out. Per-round shuffle is O(|tri| + killed) instead of
-the O(E^1.5) wedge re-join — the win when rounds are many or wedge
-work dominates; the trade is the O(#triangles) list held materialized
-across rounds (recompute form needs O(E) state only). Both forms
-return the identical unique k-truss (pytest-asserted equal).
+``delta=True`` switches to the DELTA-PEELING variant: triangles and
+initial supports are materialized ONCE, then each round only (1) finds
+the triangles whose FIRST doomed edge is in this round's frontier
+(broadcast semi-probes of the cached list against the frontier, anti-
+probes against the cumulative doomed set), and (2) folds their edge
+decrements into a broadcast cumulative-decrement table — rounds write
+only frontier-sized tables, never the O(#tri)/O(E) bases (compacted
+back into the bases past ``compact_rows`` so broadcasts stay bounded).
+
+Measured crossover (BENCH ktruss_delta_* rows, mode-matched): the
+delta form wins DEEP cascades — a 19-round geometric-gradient peel
+runs ~1.4x faster (≈44s vs ≈65s) because 19 wedge re-joins cost more
+than one materialization — and LOSES shallow web-shaped peels ~2.5-3x
+(sf0.1, 1-2 rounds: ≈17s vs ≈6s) where the one-time O(#triangles)
+localCheckpoint dominates. Web/link graphs peel shallow, so RECOMPUTE
+stays the default (and the durable form); flip the flag when the
+cascade is known deep. Both forms return the identical unique k-truss
+(pytest-asserted equal).
 """
 
 from __future__ import annotations
@@ -58,41 +66,12 @@ def _edge_support(und: DataFrame) -> DataFrame:
     """(a, b, s): triangles per undirected edge (a < b) of ``und``.
 
     Degree-oriented enumeration (see kernels/triangles.py module doc);
-    edges in no triangle are absent from the result."""
-    udeg = (
-        und.select(F.col("a").alias("vid"))
-        .unionAll(und.select(F.col("b").alias("vid")))
-        .groupBy("vid")
-        .agg(F.count(F.lit(1)).alias("udeg"))
+    edges in no triangle are absent from the result. Catalyst fuses the
+    triangle join and the contribution aggregate into one plan — the
+    triangle list itself is never materialized on this path."""
+    return _tri_edge_contribs(_triangles_of(und)).select(
+        "a", "b", F.col("c_n").alias("s")
     )
-    da = udeg.select(F.col("vid").alias("a"), F.col("udeg").alias("deg_a"))
-    db = udeg.select(F.col("vid").alias("b"), F.col("udeg").alias("deg_b"))
-    e = und.join(da, "a").join(db, "b")
-    a_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = e.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
-    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
-    tri = e1.join(e2, "y").join(closing, ["x", "z"])
-    contribs = (
-        tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
-        .unionAll(
-            tri.select(
-                F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
-            )
-        )
-        .unionAll(
-            tri.select(
-                F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
-            )
-        )
-    )
-    return contribs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
 
 
 def _triangles_of(und: DataFrame) -> DataFrame:
@@ -145,71 +124,132 @@ def _delta_ktruss(
     config: EngineConfig,
     max_rounds: int,
     metrics_out: dict | None,
+    compact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Delta-peeling k-truss (see module doc): one triangle
     enumeration, then per-round support decrements only around deleted
-    edges. Returns the identical unique k-truss as the recompute form."""
+    edges. Returns the identical unique k-truss as the recompute form.
+
+    The triangle list AND the initial support table are materialized
+    ONCE and never rewritten. A triangle is "killed in round r" iff it
+    touches a round-r doomed edge and touches NO earlier-doomed edge,
+    so each round probes the CACHED triangle list with broadcast-sized
+    doomed sets (3 semi probes against the frontier + 3 anti probes
+    against the cumulative doomed edges) — and current supports are
+    s0 minus a broadcast cumulative-decrement table, so a round's only
+    writes are frontier-sized: no O(#triangles) anti-join rewrite and
+    no O(E) support-table re-checkpoint per round (both measured to
+    dominate the earlier delta form's cost).
+
+    The broadcast accumulators cannot grow unboundedly: once the
+    cumulative doomed + decrement row count exceeds ``compact_rows``
+    (driver-tracked via the Observations that already ride each
+    materialization), they are folded back into freshly materialized
+    es0/tri tables and reset — one amortized O(#triangles) rewrite per
+    ``compact_rows`` peeled edges, keeping every per-round broadcast
+    bounded at any graph size."""
     spark = graph.spark
     parts = config.partitions_for(spark)
     und = graph.undirected_edges().repartition(parts, "a")
     tri = releaf(_triangles_of(und).localCheckpoint(eager=True))
-    es = releaf(  # alive edges with current support
+    obs0 = Observation()
+    es0 = releaf(  # initial per-edge supports, immutable across rounds
         und.join(_tri_edge_contribs(tri), ["a", "b"], "left")
         .select("a", "b", F.coalesce("c_n", F.lit(0)).alias("s"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_alive = int(obs0.get["n"] or 0)
+    doomed_acc = None  # cumulative doomed edges; bounded by |E| - kept
+    cumdec = None  # (a, b, d): cumulative support decrements
+    cum_doomed = 0  # rows in doomed_acc (exact, summed driver-side)
     rounds = 0
+    compactions = 0
     survivors: list[int] = []
+
+    def current():
+        cur = es0
+        if doomed_acc is not None:
+            cur = cur.join(F.broadcast(doomed_acc), ["a", "b"], "left_anti")
+        if cumdec is not None:
+            cur = cur.join(F.broadcast(cumdec), ["a", "b"], "left").select(
+                "a", "b",
+                (F.col("s") - F.coalesce("d", F.lit(0))).alias("s"),
+            )
+        return cur
+
     for _ in range(max_rounds):
         obs_d = Observation()
         doomed = releaf(
-            es.where(F.col("s") < k - 2)
+            current().where(F.col("s") < k - 2)
             .select("a", "b")
             .observe(obs_d, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if int(obs_d.get["n"] or 0) == 0:
+        n_doomed = int(obs_d.get["n"] or 0)
+        if n_doomed == 0:
             if metrics_out is not None:
                 metrics_out["rounds"] = rounds
                 metrics_out["survivors_per_round"] = survivors
-            return es.select("a", "b")
+                metrics_out["compactions"] = compactions
+            return current().select("a", "b")
         rounds += 1
+        n_alive -= n_doomed
+        survivors.append(n_alive)
+
         # triangles touching any doomed edge (a triangle with 2+ doomed
         # edges appears once — distinct corners). Corners are DEGREE-
         # oriented, so canonicalize each triangle edge with
-        # least/greatest before probing the canonical doomed set.
-        def probe(x, y):
-            d = doomed.select(
-                F.col("a").alias("_da"), F.col("b").alias("_db")
+        # least/greatest before probing the canonical doomed sets.
+        def probe(t, d, x, y, how):
+            dd = d.select(F.col("a").alias("_da"), F.col("b").alias("_db"))
+            cond = (F.least(t[x], t[y]) == dd["_da"]) & (
+                F.greatest(t[x], t[y]) == dd["_db"]
             )
-            cond = (F.least(tri[x], tri[y]) == d["_da"]) & (
-                F.greatest(tri[x], tri[y]) == d["_db"]
-            )
-            return tri.join(d, cond, "left_semi")
+            return t.join(F.broadcast(dd), cond, how)
 
         killed = (
-            probe("x", "y")
-            .unionAll(probe("y", "z"))
-            .unionAll(probe("x", "z"))
+            probe(tri, doomed, "x", "y", "left_semi")
+            .unionAll(probe(tri, doomed, "y", "z", "left_semi"))
+            .unionAll(probe(tri, doomed, "x", "z", "left_semi"))
             .distinct()
         )
-        dec = _tri_edge_contribs(killed)
-        obs_s = Observation()
-        es = releaf(
-            es.join(doomed, ["a", "b"], "left_anti")
-            .join(dec, ["a", "b"], "left")
-            .select(
-                "a", "b",
-                (F.col("s") - F.coalesce("c_n", F.lit(0))).alias("s"),
-            )
-            .observe(obs_s, F.count(F.lit(1)).alias("n"))
+        if doomed_acc is not None:
+            # drop triangles already killed by an earlier round's edge
+            for x, y in (("x", "y"), ("y", "z"), ("x", "z")):
+                killed = probe(killed, doomed_acc, x, y, "left_anti")
+        dec = _tri_edge_contribs(killed).select(
+            "a", "b", F.col("c_n").alias("d")
+        )
+        obs_c = Observation()
+        cumdec = releaf(
+            (dec if cumdec is None else cumdec.unionAll(dec))
+            .groupBy("a", "b")
+            .agg(F.sum("d").alias("d"))
+            .observe(obs_c, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        survivors.append(int(obs_s.get["n"] or 0))
-        tri = releaf(
-            tri.join(killed, ["x", "y", "z"], "left_anti")
-            .localCheckpoint(eager=True)
+        doomed_acc = releaf(
+            (
+                doomed if doomed_acc is None
+                else doomed_acc.unionAll(doomed)
+            ).localCheckpoint(eager=True)
         )
+        cum_doomed += n_doomed  # doomed_acc rows (exact, driver-side)
+        acc_rows = cum_doomed + int(obs_c.get["n"] or 0)  # + cumdec rows
+        if acc_rows >= compact_rows:
+            # fold the accumulators into fresh base tables so the
+            # per-round broadcasts stay bounded (amortized: one
+            # O(#triangles) rewrite per compact_rows peeled edges)
+            es0 = releaf(current().localCheckpoint(eager=True))
+            live_tri = tri
+            for x, y in (("x", "y"), ("y", "z"), ("x", "z")):
+                live_tri = probe(live_tri, doomed_acc, x, y, "left_anti")
+            tri = releaf(live_tri.localCheckpoint(eager=True))
+            doomed_acc = None
+            cumdec = None
+            cum_doomed = 0
+            compactions += 1
     raise RuntimeError(
         f"k_truss(delta): peeling did not reach a fixpoint in {max_rounds} "
         "rounds; raise max_rounds"

@@ -308,6 +308,21 @@ def test_ktruss_delta_equals_recompute(spark, config):
     }
     assert got2 == _py_ktruss(ed, 4)
     assert m_delta["rounds"] >= 2  # the chain actually cascaded
+    # broadcast-compaction path: compact_rows=1 folds the doomed/
+    # decrement accumulators back into the base tables EVERY round —
+    # result must be identical and compaction must actually fire
+    from planar_spark.kernels.truss import _delta_ktruss
+
+    m_c: dict = {}
+    got_c = {
+        (r["a"], r["b"])
+        for r in _delta_ktruss(
+            g2, 4, config, max_rounds=100, metrics_out=m_c,
+            compact_rows=1,
+        ).collect()
+    }
+    assert got_c == _py_ktruss(ed, 4)
+    assert m_c["compactions"] >= 2
 
 
 def _py_truss_numbers(edges: np.ndarray) -> dict[tuple[int, int], int]:

@@ -333,6 +333,41 @@ def main() -> None:
         lambda: effective_diameter(g, 2, q=0.9, config=cfg).count(),
     )
 
+    # Locality layout (T3/T4 via GraphTables.with_partitioning): the
+    # one-time relabel cost, WCC on the block-pinned gather, and the
+    # layout's gather fan-in (rows entering the groupBy(dst) shuffle)
+    # vs the hash layout's — the measured locality win the partitioner
+    # tests predict (graph/locality.py module doc).
+    from planar_spark.graph.locality import (
+        block_pinned_sym,
+        gather_fanin_rows,
+    )
+
+    loc_state: dict = {}
+
+    def build_layout():
+        g_loc, _m = g.with_partitioning(
+            "bfs_vertex_cut", num_partitions=parts
+        )
+        loc_state["g"] = g_loc
+
+    timed_extra("wcc_locality_layout_build", build_layout)
+    if "g" in loc_state:
+        g_loc = loc_state["g"]
+        timed_extra(
+            "wcc_locality",
+            lambda: connected_components(
+                g_loc, cfg, two_hop_init=True
+            ).state.count(),
+        )
+        sym_h = g.symmetric_edges().repartition(parts, "src").persist()
+        extras["wcc_gather_fanin_hash"] = gather_fanin_rows(sym_h)
+        sym_h.unpersist()
+        sym_l = block_pinned_sym(g_loc, parts).persist()
+        extras["wcc_gather_fanin_bfs"] = gather_fanin_rows(sym_l)
+        sym_l.unpersist()
+        g_loc.unpersist()
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed_extra("minhash_lsh_pairs", lambda: lsh_candidate_pairs(docs).count())

@@ -266,19 +266,17 @@ def bfs_edge_cut(
     return out.repartitionByRange(num_partitions, "part")
 
 
-def bfs_vertex_cut(
+def bfs_vertex_cut_labels(
     graph,
     num_partitions: int,
     branch_factor: int = 4,
     cap_factor: float = 1.5,
 ) -> DataFrame:
-    """T4: planar BFS-branch vertex-cut — grow branch_factor*k branches,
-    greedily merge them into k partitions by size (the reference's
-    Redistributing, csr_based_planar_vertexcut.cpp:457-505, done here
-    as a driver-side bin-pack over ≤ branch_factor*k scalars), then
-    assign each EDGE to least(part(src), part(dst)). Vertices incident
-    to several partitions are implicitly replicated — the vertex-cut /
-    border-vertex model. Returns edges with a ``part`` column."""
+    """(vid, part) for every vertex: the T4 grow-then-merge assignment
+    (grow branch_factor*k BFS branches, greedily bin-pack them into k
+    partitions driver-side). Exposed separately so layout-aware callers
+    (GraphTables.with_partitioning) can relabel vertices region-major
+    from the same assignment that bfs_vertex_cut buckets edges by."""
     nb = max(num_partitions, int(num_partitions) * int(branch_factor))
     labels = bfs_grow_labels(graph, nb, cap_factor)
     branch_sizes = {
@@ -301,7 +299,25 @@ def bfs_vertex_cut(
             schema="branch int, part int",
         )
     )
-    vp = labels.join(m, "branch").select("vid", "part")
+    return labels.join(m, "branch").select("vid", "part")
+
+
+def bfs_vertex_cut(
+    graph,
+    num_partitions: int,
+    branch_factor: int = 4,
+    cap_factor: float = 1.5,
+) -> DataFrame:
+    """T4: planar BFS-branch vertex-cut — grow branch_factor*k branches,
+    greedily merge them into k partitions by size (the reference's
+    Redistributing, csr_based_planar_vertexcut.cpp:457-505, done here
+    as a driver-side bin-pack over ≤ branch_factor*k scalars), then
+    assign each EDGE to least(part(src), part(dst)). Vertices incident
+    to several partitions are implicitly replicated — the vertex-cut /
+    border-vertex model. Returns edges with a ``part`` column."""
+    vp = bfs_vertex_cut_labels(
+        graph, num_partitions, branch_factor, cap_factor
+    )
     ps = vp.select(F.col("vid").alias("src"), F.col("part").alias("p_src"))
     pd = vp.select(F.col("vid").alias("dst"), F.col("part").alias("p_dst"))
     out = (

@@ -30,10 +30,31 @@ class GraphTables:
     degrees: DataFrame          # (vid, out_deg) — one row per vertex, 0 for dangling
     num_vertices: int
     num_edges: int
+    # Set by with_partitioning: vertex ids are region-major (a locality
+    # block = the id range [k*block_size, (k+1)*block_size)), and
+    # layout-aware kernels switch to block-pinned gathers (graph/
+    # locality.py). None = plain hash layout.
+    block_size: int | None = None
 
     @property
     def spark(self) -> SparkSession:
         return self.edges.sparkSession
+
+    def with_partitioning(
+        self,
+        strategy: str = "bfs_vertex_cut",
+        num_partitions: int = 32,
+        blocks_per_partition: int = 8,
+        **kw,
+    ) -> tuple["GraphTables", DataFrame]:
+        """Rebuild this graph in a locality layout (T3/T4/T6 region-
+        major relabel; see graph/locality.py). Returns (new graph with
+        ``block_size`` set, mapping(vid, new_vid))."""
+        from planar_spark.graph.locality import with_partitioning
+
+        return with_partitioning(
+            self, strategy, num_partitions, blocks_per_partition, **kw
+        )
 
     def cache(self) -> "GraphTables":
         self.edges.persist()

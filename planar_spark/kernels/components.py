@@ -66,7 +66,20 @@ def connected_components(
     # only after PointJump (wcc_nvme_app.h:95-116).
     assert not contract or pointer_jumping, "contract requires pointer_jumping"
 
-    edge_state = {"sym": graph.symmetric_edges().repartition(parts, "src").persist()}
+    # Layout-aware gather: on a with_partitioning graph (region-major
+    # ids, graph.block_size set) the sym table is pinned by locality
+    # BLOCK and the label join runs on the compound (blk, vid) key —
+    # still zero edge-side exchange, but the gather's partial agg now
+    # emits ~V + cut rows instead of ~parts*V (graph/locality.py).
+    bs = getattr(graph, "block_size", None)
+    if bs:
+        from planar_spark.graph.locality import block_pinned_sym
+
+        edge_state = {"sym": block_pinned_sym(graph, parts).persist()}
+    else:
+        edge_state = {
+            "sym": graph.symmetric_edges().repartition(parts, "src").persist()
+        }
 
     def init_state() -> DataFrame:
         labels = graph.vertices.select("vid", F.col("vid").alias("label"))
@@ -111,15 +124,26 @@ def connected_components(
             shrunk = (
                 sym.join(la, "src").join(lb, "dst")
                 .where(F.col("ls") != F.col("ld"))
-                .select("src", "dst")
+                .select(*(["sblk"] if bs else []), "src", "dst")
                 .localCheckpoint(eager=True)
             )
             sym.unpersist()
             edge_state["sym"] = sym = shrunk
-        msgs = (
-            sym.join(labels, sym["src"] == labels["vid"])
-            .select(F.col("dst").alias("vid"), "label")
-        )
+        if bs:
+            lab_b = labels.withColumn("vblk", F.expr(f"vid div {int(bs)}"))
+            msgs = (
+                sym.join(
+                    lab_b,
+                    (sym["sblk"] == lab_b["vblk"])
+                    & (sym["src"] == lab_b["vid"]),
+                )
+                .select(F.col("dst").alias("vid"), "label")
+            )
+        else:
+            msgs = (
+                sym.join(labels, sym["src"] == labels["vid"])
+                .select(F.col("dst").alias("vid"), "label")
+            )
         min_nbr = msgs.groupBy("vid").agg(F.min("label").alias("nbr_min"))
         new = (
             labels.join(min_nbr, "vid", "left")

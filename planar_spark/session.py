@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # subset-key co-partitioning: lets a join reuse one side's
+        # HashPartitioning on a PREFIX of the join keys instead of
+        # re-shuffling both sides on all keys — required by the
+        # block-pinned locality gather (graph/locality.py), whose edge
+        # cache is hash(sblk) and joins on [sblk, vid]
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -217,3 +217,42 @@ def test_scc_and_bowtie_plans_have_no_window(spark, config):
     # (and by construction every checkpointed inner step) is window-free
     assert "Window" not in _plan(out)
     assert out.count() == 120
+
+
+def test_block_pinned_gather_edge_side_unshuffled(spark, config):
+    """The locality gather (graph/locality.py): sym cached as
+    HashPartitioning(sblk) + sorted (sblk, src), joined to labels on
+    the compound [sblk, src] key. HashPartitioning on the subset key
+    must satisfy the join's distribution — zero exchange AND zero sort
+    on the edge branch; only the label side shuffles (by vblk)."""
+    edges = edges_powerlaw(400, m=3, seed=2)
+    g = graph_from_numpy(spark, edges, 400)
+    # partition count must match the session's shuffle partitions (8):
+    # a cached HashPartitioning with a DIFFERENT numPartitions is not
+    # co-partition-compatible and Spark re-shuffles the edge side.
+    g2, _ = g.with_partitioning("bfs_edge_cut", num_partitions=8)
+
+    from planar_spark.graph.locality import block_pinned_sym
+
+    sym = block_pinned_sym(g2, 8).persist()
+    sym.count()
+    labels = g2.vertices.select("vid", F.col("vid").alias("label"))
+    lab_b = labels.withColumn(
+        "vblk", F.expr(f"vid div {int(g2.block_size)}")
+    )
+    # merge hint: at test scale AQE would broadcast the tiny label side
+    # (also edge-side-unshuffled, but not the at-scale plan); the hint
+    # pins the SMJ form that a 100TB label table gets.
+    msgs = sym.hint("merge").join(
+        lab_b, (sym["sblk"] == lab_b["vblk"]) & (sym["src"] == lab_b["vid"])
+    ).select(F.col("dst").alias("vid"), "label")
+    agg = msgs.groupBy("vid").agg(F.min("label").alias("nbr_min"))
+    agg.collect()  # AQE finalizes the plan on execution
+    plan = _plan(agg)
+    assert "SortMergeJoin [sblk" in plan, plan
+    i = plan.index("SortMergeJoin [sblk")
+    j = plan.index("TableCacheQueryStage", i)
+    edge_branch = plan[i:j]
+    assert "Exchange" not in edge_branch, plan
+    assert "Sort [sblk" not in edge_branch, plan
+    sym.unpersist()

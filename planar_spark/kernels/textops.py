@@ -685,6 +685,8 @@ def near_dup_clusters(
     bands: int = 4,
     threshold: float = 0.5,
     max_rounds: int = 64,
+    max_bucket: int = 100_000,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """(doc_id, canonical_id) — end-to-end near-dup dedup: LSH candidate
     pairs, exact Jaccard filter at ``threshold``, then connected
@@ -704,19 +706,26 @@ def near_dup_clusters(
     # pairs plan twice (intersection join + final left join), and the
     # LSH subtree (signatures + band join + bucket-cap count join) is
     # too expensive to re-execute per reference
+    obs_p = Observation()
     pairs = releaf(
-        lsh_candidate_pairs(docs, n, num_hashes, bands).localCheckpoint(
-            eager=True
-        )
+        lsh_candidate_pairs(docs, n, num_hashes, bands, max_bucket)
+        .observe(obs_p, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
+    if metrics_out is not None:
+        metrics_out["candidate_pairs"] = int(obs_p.get["n"] or 0)
     sims = ngram_jaccard(docs, pairs, n)
     # materialize the (tiny) pair-graph edge list once so the label loop
     # references a leaf, not the whole LSH/Jaccard tree
+    obs_e = Observation()
     edges = releaf(
         sims.where(F.col("jaccard") >= threshold)
         .select("a", "b")
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    if metrics_out is not None:
+        metrics_out["dup_edges"] = int(obs_e.get["n"] or 0)
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -725,7 +734,9 @@ def near_dup_clusters(
         .localCheckpoint(eager=True)
     )
     converged = False
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         msgs = sym.join(labels, sym["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), "label"
         )
@@ -756,4 +767,6 @@ def near_dup_clusters(
             f"near_dup_clusters: hash-min not converged in {max_rounds} "
             "rounds; raise max_rounds (pair-graph diameter exceeds it)"
         )
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
     return labels.select("doc_id", F.col("label").alias("canonical_id"))

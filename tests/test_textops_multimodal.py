@@ -334,3 +334,61 @@ def test_near_dup_clusters_fail_loud_on_exhaustion(spark):
         near_dup_clusters(docs, max_rounds=1)
     ok = near_dup_clusters(docs)
     assert all(r["canonical_id"] == 0 for r in ok.collect())
+
+
+def test_expand_documents_planted_structure(spark):
+    """Corpus expansion (ingest/corpus.py): deterministic, with the
+    planted near-dup pairs actually near (Jaccard in (0.5, 1)) and the
+    boilerplate docs byte-identical across base docs."""
+    from planar_spark.ingest.corpus import expand_documents
+    from planar_spark.kernels.textops import ngram_jaccard
+
+    base = spark.createDataFrame(
+        [(i, "x", "en", "t", 1) for i in range(20)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = expand_documents(base, factor=250, words_per_doc=40).persist()
+    assert out.count() == 20 * 250
+    # planted pair: replica s=1 mutates replica s=0's word stream
+    pairs = spark.createDataFrame(
+        [(i * 250, i * 250 + 1) for i in range(20)], schema="a long, b long"
+    )
+    sims = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard(out, pairs).collect()
+    }
+    assert len(sims) == 20
+    for j in sims.values():
+        assert 0.3 < j < 1.0, sims  # near-dup, not exact-dup
+    # boilerplate docs (hash(id) % 1000 == 7) share ONE text
+    from pyspark.sql import functions as F
+
+    boiler = (
+        out.where(F.pmod(F.xxhash64("doc_id"), F.lit(1000)) == 7)
+        .select("text")
+        .collect()
+    )
+    assert len(boiler) >= 2
+    assert len({r["text"] for r in boiler}) == 1
+    # deterministic: a second expansion is byte-identical
+    again = expand_documents(base, factor=250, words_per_doc=40)
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
+
+
+def test_expand_embeddings_jitter_bounded(spark):
+    from planar_spark.ingest.corpus import expand_embeddings
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0, -2.0], i % 3) for i in range(10)],
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    out = expand_embeddings(base, factor=8).persist()
+    assert out.count() == 80
+    rows = out.collect()
+    for r in rows:
+        b = r["vec_id"] // 8
+        exp = [float(b), 1.0, -2.0]
+        for x, e in zip(r["embedding"], exp):
+            assert abs(x - e) <= 0.101, (r["vec_id"], x, e)
+    out.unpersist()

@@ -88,6 +88,13 @@ class LoopCheckpointer:
         base = self._round_name(rnd)
         for name, df in tables.items():
             self._store.write(df, f"{base}/{name}")
+        # per-partition lineage per state table (north rule: frontier
+        # state + lineage + metrics in every durable round) — built from
+        # file footers / Iceberg metadata, no extra Spark job
+        lineage = {
+            name: self._store.partition_lineage(f"{base}/{name}")
+            for name in tables
+        }
         self._store.write_meta(
             base,
             {
@@ -96,6 +103,7 @@ class LoopCheckpointer:
                 "round": rnd,
                 "tables": sorted(tables),
                 "metrics": metrics or {},
+                "partition_lineage": lineage,
                 "wall_ts": time.time(),
                 "completed": True,
             },

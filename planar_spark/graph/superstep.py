@@ -177,6 +177,11 @@ class SuperstepEngine:
             "superstep": step,
             "metrics": metrics,
             "lineage": self.lineage,
+            # per-partition rows/bytes of the just-written state table
+            # (parquet footers / Iceberg .files — no extra Spark job)
+            "partition_lineage": self._store.partition_lineage(
+                f"{self._step_name(step)}/state"
+            ),
             "wall_ts": time.time(),
             "completed": True,
         }

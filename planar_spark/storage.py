@@ -158,6 +158,78 @@ class TableStore:
             pass
         return self.spark.read.parquet(self._path(name))
 
+    def partition_lineage(self, name: str, max_files: int = 4096) -> dict:
+        """Per-partition lineage of a written table: one record per data
+        file (= one write partition) with its row count and byte size.
+
+        North-rule parity: "checkpoints per-partition frontier state,
+        lineage, and convergence metrics". The record is built WITHOUT a
+        Spark job — fallback mode reads parquet footers driver-side
+        (pyarrow), Iceberg mode queries the catalog's own ``.files``
+        metadata table (a metadata-only scan of the current snapshot).
+        Cost is O(#files) driver work, so the file list is capped at
+        ``max_files`` entries (totals always cover every file).
+        """
+        files: list[dict] = []
+        total_rows = 0
+        total_bytes = 0
+        n = 0
+        if self.catalog:
+            try:
+                rows = (
+                    self.spark.sql(
+                        "SELECT file_path, record_count, file_size_in_bytes "
+                        f"FROM {self._ident(name)}.files"
+                    ).collect()
+                )
+            except Exception:
+                return {"mode": "iceberg", "available": False}
+            for r in rows:
+                n += 1
+                total_rows += int(r["record_count"])
+                total_bytes += int(r["file_size_in_bytes"])
+                if len(files) < max_files:
+                    files.append(
+                        {
+                            "file": os.path.basename(r["file_path"]),
+                            "rows": int(r["record_count"]),
+                            "bytes": int(r["file_size_in_bytes"]),
+                        }
+                    )
+            mode = "iceberg"
+        else:
+            import pyarrow.parquet as pq
+
+            d = self._path(name)
+            if not os.path.isdir(d):
+                return {"mode": "parquet", "available": False}
+            for entry in sorted(os.listdir(d)):
+                if not entry.endswith(".parquet"):
+                    continue
+                fp = os.path.join(d, entry)
+                rows_in_file = pq.ParquetFile(fp).metadata.num_rows
+                n += 1
+                total_rows += rows_in_file
+                total_bytes += os.path.getsize(fp)
+                if len(files) < max_files:
+                    files.append(
+                        {
+                            "file": entry,
+                            "rows": rows_in_file,
+                            "bytes": os.path.getsize(fp),
+                        }
+                    )
+            mode = "parquet"
+        return {
+            "mode": mode,
+            "available": True,
+            "num_files": n,
+            "total_rows": total_rows,
+            "total_bytes": total_bytes,
+            "truncated": n > len(files),
+            "files": files,
+        }
+
     # --------------------------------------------------------------- meta
     def write_meta(self, name: str, meta: dict) -> None:
         """Atomically mark ``name`` complete with the given metadata."""

@@ -82,3 +82,49 @@ def test_plain_rewrite_drops_stale_bucketed_entry(spark, tmp_path):
     store.write(df2, "tbl")  # plain parquet rewrite
     got = store.read("tbl")
     assert sorted(r["v"] for r in got.collect()) == [2, 2, 2]
+
+
+def test_partition_lineage_matches_written_table(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(1000).selectExpr("id AS vid").repartition(4, "vid")
+    store.write(df, "lin1")
+    lin = store.partition_lineage("lin1")
+    assert lin["available"] and lin["mode"] == "parquet"
+    assert lin["total_rows"] == 1000
+    assert lin["num_files"] >= 1
+    assert sum(f["rows"] for f in lin["files"]) == 1000
+    assert all(f["bytes"] > 0 for f in lin["files"])
+    assert not lin["truncated"]
+    # unknown table: explicit unavailable marker, no exception
+    assert store.partition_lineage("nope")["available"] is False
+
+
+def test_loop_checkpoint_meta_carries_partition_lineage(spark, tmp_path):
+    from planar_spark.config import EngineConfig
+    from planar_spark.graph.loopckpt import LoopCheckpointer
+
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path), checkpoint_every=1)
+    ck = LoopCheckpointer(spark, cfg, "lintest", run_id="r1")
+    state = spark.range(64).selectExpr("id AS vid", "id % 7 AS lbl")
+    ck.save(2, {"labels": state}, metrics={"rounds": 2})
+    meta = ck._store.read_meta(ck._round_name(2))
+    lin = meta["partition_lineage"]["labels"]
+    assert lin["available"] and lin["total_rows"] == 64
+    assert meta["metrics"]["rounds"] == 2
+
+
+def test_superstep_checkpoint_meta_carries_partition_lineage(spark, tmp_path):
+    from planar_spark.config import EngineConfig
+    from planar_spark.graph.superstep import SuperstepEngine
+    from planar_spark.kernels.pagerank import pagerank
+
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path), checkpoint_every=1)
+    g = graph_from_numpy(spark, edges_powerlaw(80, m=2, seed=5), 80)
+    eng = SuperstepEngine(spark, cfg, "pagerank", run_id="linpr")
+    pagerank(g, cfg, num_iterations=2, engine=eng)
+    store = TableStore(spark, str(tmp_path))
+    names = sorted(store.list_meta_names("pagerank/linpr"))
+    assert names, "expected at least one checkpointed superstep"
+    meta = store.read_meta(names[-1])
+    lin = meta["partition_lineage"]
+    assert lin["available"] and lin["total_rows"] == 80

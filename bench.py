@@ -316,6 +316,16 @@ def main() -> None:
         lambda: densest_subgraph(g, cfg, metrics_out=ds_m).count(),
     )
     extras["densest_subgraph_density"] = ds_m.get("best_density")
+    from planar_spark.kernels.betweenness import betweenness
+
+    bw_m: dict = {}
+    timed_extra(
+        "betweenness_16src",
+        lambda: betweenness(
+            g, num_sources=16, config=cfg, metrics_out=bw_m
+        ).count(),
+    )
+    extras["betweenness_depth"] = bw_m.get("depth")
     src_min = int(g.vertices.agg(F.min("vid")).collect()[0][0])
     wdf = g.edges.select(
         "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w")
@@ -374,71 +384,6 @@ def main() -> None:
     timed_extra("near_dup_clusters", lambda: near_dup_clusters(docs).count())
     timed_extra("embedding_ann_topk", lambda: embedding_ann_topk(emb).count())
 
-    # Corpus-scale pass: ~1M docs / ~200k vectors synthesized in Spark
-    # from the sf tables (ingest/corpus.py — planted near-dup pairs +
-    # a ~1000-doc boilerplate pile-up). Times the dedup stack
-    # (minhash -> banded LSH -> Jaccard -> cluster fixpoint) and the
-    # bucketed ANN (+ recall@5 vs the exact baseline on a sparse query
-    # subset) at training-pipeline size; max_bucket=200 forces
-    # _cap_buckets to sub-salt the boilerplate bucket, so the
-    # quadratic-pile-up guard is exercised AT SCALE every bench run,
-    # not just unit-tested.
-    corpus: dict[str, object] = {}
-    try:
-        from planar_spark.ingest.corpus import (
-            expand_documents,
-            expand_embeddings,
-        )
-        from planar_spark.kernels.textops import embedding_topk
-
-        corpus["probe_sec"] = mem_probe()
-        t0 = time.time()
-        big_docs = (
-            expand_documents(docs, factor=200)
-            .repartition(parts)
-            .persist()
-        )
-        corpus["num_docs"] = big_docs.count()
-        corpus["gen_docs_sec"] = round(time.time() - t0, 3)
-        # end-to-end dedup (minhash -> banded LSH w/ sub-salted buckets
-        # -> Jaccard -> cluster fixpoint); the candidate-pair and
-        # dup-edge counts ride the pipeline's own materializations as
-        # Observations, so the pair stage is not re-executed for a
-        # standalone count
-        t0 = time.time()
-        nd_m: dict = {}
-        cl = near_dup_clusters(big_docs, max_bucket=200, metrics_out=nd_m)
-        corpus["near_dup_merged_docs"] = cl.where(
-            F.col("canonical_id") != F.col("doc_id")
-        ).count()
-        corpus["near_dup_clusters_sec"] = round(time.time() - t0, 3)
-        corpus["lsh_candidate_pairs"] = nd_m.get("candidate_pairs")
-        corpus["dup_edges"] = nd_m.get("dup_edges")
-        corpus["cluster_rounds"] = nd_m.get("rounds")
-        big_docs.unpersist()
-
-        t0 = time.time()
-        big_emb = (
-            expand_embeddings(emb, factor=100).repartition(parts).persist()
-        )
-        corpus["num_vectors"] = big_emb.count()
-        corpus["gen_vectors_sec"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        ann = embedding_ann_topk(big_emb, query_mod=1000, k=5).persist()
-        corpus["ann_results"] = ann.count()
-        corpus["ann_topk_sec"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        exact = embedding_topk(big_emb, query_mod=1000, k=5).persist()
-        n_exact = exact.count()
-        corpus["exact_topk_sec"] = round(time.time() - t0, 3)
-        hits = ann.join(exact, ["q", "neighbor"], "left_semi").count()
-        corpus["ann_recall_at_5"] = round(hits / max(1, n_exact), 4)
-        ann.unpersist()
-        exact.unpersist()
-        big_emb.unpersist()
-        corpus["probe_sec_end"] = mem_probe()
-    except Exception as e:  # noqa: BLE001 — bench must keep going
-        corpus["error"] = f"{type(e).__name__}: {e}"
 
     # Big-graph pass at ~16x the edges: PageRank + WCC plus the
     # ROUND-HEAVY kernels (msf/scc/coloring/kcore) whose real scale cost
@@ -448,8 +393,20 @@ def main() -> None:
     # wall-clock number, and its r=1 estimates are checked against the
     # exact 1-hop ball (1 + distinct out-neighbors) for the HLL error
     # bound (~1.04/sqrt(2^lgK) ≈ 3.3% at lgK=10).
+
+    def section_isolate():
+        """Drop cached blocks + hint a full GC so a section's timings
+        start from a clean block manager and heap, not the previous
+        section's debt."""
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — isolation is best-effort
+            pass
+
     big: dict[str, object] = {}
     try:
+        section_isolate()
         big_probe = mem_probe()
         bg = big_bench_graph(spark, sf_dir, parts)
         t0 = time.time()
@@ -608,6 +565,80 @@ def main() -> None:
         bg.unpersist()
     except Exception as e:  # noqa: BLE001
         big = {"error": f"{type(e).__name__}: {e}"}
+
+    # The 1M-doc corpus pass is deliberately LAST: it churns ~10 GB
+    # through the block manager and old-gen heap, and big-graph rows
+    # measured after it in the same JVM pay its GC debt (r6: big
+    # pagerank 19.1s after the corpus pass vs 7.3s in r4's
+    # corpus-free bench, fast memory mode both times). Graph rows run
+    # first; the corpus section cleans up with clearCache + an
+    # explicit GC so its probe reflects the host, not the heap.
+    # Corpus-scale pass: ~1M docs / ~200k vectors synthesized in Spark
+    # from the sf tables (ingest/corpus.py — planted near-dup pairs +
+    # a ~1000-doc boilerplate pile-up). Times the dedup stack
+    # (minhash -> banded LSH -> Jaccard -> cluster fixpoint) and the
+    # bucketed ANN (+ recall@5 vs the exact baseline on a sparse query
+    # subset) at training-pipeline size; max_bucket=200 forces
+    # _cap_buckets to sub-salt the boilerplate bucket, so the
+    # quadratic-pile-up guard is exercised AT SCALE every bench run,
+    # not just unit-tested.
+    corpus: dict[str, object] = {}
+    try:
+        section_isolate()
+        from planar_spark.ingest.corpus import (
+            expand_documents,
+            expand_embeddings,
+        )
+        from planar_spark.kernels.textops import embedding_topk
+
+        corpus["probe_sec"] = mem_probe()
+        t0 = time.time()
+        big_docs = (
+            expand_documents(docs, factor=200)
+            .repartition(parts)
+            .persist()
+        )
+        corpus["num_docs"] = big_docs.count()
+        corpus["gen_docs_sec"] = round(time.time() - t0, 3)
+        # end-to-end dedup (minhash -> banded LSH w/ sub-salted buckets
+        # -> Jaccard -> cluster fixpoint); the candidate-pair and
+        # dup-edge counts ride the pipeline's own materializations as
+        # Observations, so the pair stage is not re-executed for a
+        # standalone count
+        t0 = time.time()
+        nd_m: dict = {}
+        cl = near_dup_clusters(big_docs, max_bucket=200, metrics_out=nd_m)
+        corpus["near_dup_merged_docs"] = cl.where(
+            F.col("canonical_id") != F.col("doc_id")
+        ).count()
+        corpus["near_dup_clusters_sec"] = round(time.time() - t0, 3)
+        corpus["lsh_candidate_pairs"] = nd_m.get("candidate_pairs")
+        corpus["dup_edges"] = nd_m.get("dup_edges")
+        corpus["cluster_rounds"] = nd_m.get("rounds")
+        big_docs.unpersist()
+
+        t0 = time.time()
+        big_emb = (
+            expand_embeddings(emb, factor=100).repartition(parts).persist()
+        )
+        corpus["num_vectors"] = big_emb.count()
+        corpus["gen_vectors_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ann = embedding_ann_topk(big_emb, query_mod=1000, k=5).persist()
+        corpus["ann_results"] = ann.count()
+        corpus["ann_topk_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        exact = embedding_topk(big_emb, query_mod=1000, k=5).persist()
+        n_exact = exact.count()
+        corpus["exact_topk_sec"] = round(time.time() - t0, 3)
+        hits = ann.join(exact, ["q", "neighbor"], "left_semi").count()
+        corpus["ann_recall_at_5"] = round(hits / max(1, n_exact), 4)
+        ann.unpersist()
+        exact.unpersist()
+        big_emb.unpersist()
+        corpus["probe_sec_end"] = mem_probe()
+    except Exception as e:  # noqa: BLE001 — bench must keep going
+        corpus["error"] = f"{type(e).__name__}: {e}"
 
     total = round(sum(med.values()), 3)
     pr_sec = med["pagerank"]

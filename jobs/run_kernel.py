@@ -37,7 +37,7 @@ KERNELS = (
     "msf", "coloring", "khop", "randomwalk", "kcore",
     "scc", "hits", "ppr", "lcc", "bowtie", "stats", "diameter", "ktruss",
     "wsssp", "wmsf", "centralities", "node2vec", "triads",
-    "coredecomp", "trussdecomp", "densest",
+    "coredecomp", "trussdecomp", "densest", "betweenness",
 )
 
 
@@ -261,6 +261,14 @@ def main() -> None:
         from planar_spark.kernels.densest import densest_subgraph
 
         out, meta = densest_subgraph(g, cfg), None
+    elif args.kernel == "betweenness":
+        # k-source Brandes estimate; --iterations = number of sampled
+        # sources (the memory/accuracy dial, default 16)
+        from planar_spark.kernels.betweenness import betweenness
+
+        out, meta = betweenness(
+            g, num_sources=args.iterations or 16, config=cfg
+        ), None
     elif args.kernel == "wsssp":
         from planar_spark.kernels.sssp import weighted_sssp
 

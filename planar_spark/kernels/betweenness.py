@@ -1,0 +1,206 @@
+"""Betweenness centrality — k-source Brandes over the directed graph.
+
+Not a reference kernel (the reference's centrality surface stops at
+PageRank/HITS/closeness-style measures); added as the standard missing
+link-graph centrality: which pages sit on the most shortest paths —
+navigational chokepoints, link hubs bridging communities.
+
+Algorithm: Brandes (2001) restricted to a deterministic sample of k
+sources (Brandes & Pich 2007 estimator: bc(v) ~ (|V|/k) * sum over
+sampled sources s of the dependency delta_s(v)); with sources = all
+vertices it IS exact Brandes. Both phases are batched over ALL k
+sources in lockstep — one DataFrame with an ``s`` column — so the
+round count is the graph diameter, not k * diameter:
+
+- forward: multi-source BFS carrying sigma (= number of shortest
+  s->v paths). Frontier at depth d joined to edges (on ``src``, the
+  edge table's partitioning key), per-(s,dst) sigma sums, anti-join
+  against the reached set. Per-round shuffle is O(frontier
+  neighborhood), never O(k*V).
+- backward: dependencies accumulate level-by-level from the deepest
+  BFS level up: delta(v) = sum over edges v->w with depth(w) =
+  depth(v)+1 of sigma(v)/sigma(w) * (1 + delta(w)). Each level is one
+  join bounded by the level's size.
+
+Scale shape: state is O(k*V) rows (the reached table) — k is the
+caller's memory/accuracy dial; the per-round work is frontier-sized.
+Counts ride Observations on the frontier checkpoints (zero standalone
+count jobs). Determinism: source sampling is top-out-degree with vid
+tie-break, so results are exactly reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.skew import maybe_broadcast
+from planar_spark.graph.superstep import releaf
+from planar_spark.graph.tables import GraphTables
+
+
+def top_degree_sources(graph: GraphTables, k: int) -> list[int]:
+    """Deterministic source sample: k max-out-degree vids, vid asc on
+    ties (hubs first — the sources whose BFS DAGs cover the most
+    pairs, and the same seed rule the BFS partitioners use)."""
+    rows = (
+        graph.degrees.orderBy(F.col("out_deg").desc(), F.col("vid").asc())
+        .limit(k)
+        .select("vid")
+        .collect()
+    )
+    return [int(r["vid"]) for r in rows]
+
+
+def betweenness(
+    graph: GraphTables,
+    sources: list[int] | None = None,
+    num_sources: int = 16,
+    estimate: bool = True,
+    config: EngineConfig | None = None,
+    max_depth: int = 200,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """(vid, bc) over ALL vertices.
+
+    ``sources=None`` samples ``num_sources`` deterministically
+    (top-out-degree). ``estimate=True`` scales the sampled dependency
+    sum by |V|/k (the Brandes-Pich estimator); with ``estimate=False``
+    and sources = all vertices the result is exact betweenness.
+    """
+    config = config or EngineConfig()
+    spark = graph.edges.sparkSession
+    parts = config.num_partitions
+    if sources is None:
+        sources = top_degree_sources(graph, num_sources)
+    if not sources:
+        return graph.vertices.select(
+            "vid", F.lit(0.0).alias("bc")
+        )
+
+    # parallel edges don't create additional shortest paths — dedup once
+    # (one shuffle at kernel entry, reused by every forward AND backward
+    # round from the cache)
+    edges = (
+        graph.edges.select("src", "dst")
+        .distinct()
+        .repartition(parts, "src")
+        .persist()
+    )
+    edges.count()
+
+    # ---- forward: multi-source BFS with path counts ------------------
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in sources], "s long"
+    )
+    frontier = releaf(
+        src_df.select(
+            "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma")
+        ).localCheckpoint(eager=True)
+    )
+    n_frontier = len(sources)
+    reached = frontier.withColumn("depth", F.lit(0)).persist()
+    reached.count()
+    depth = 0
+    frontier_sizes = [n_frontier]
+    while n_frontier > 0 and depth < max_depth:
+        depth += 1
+        cand = (
+            maybe_broadcast(
+                frontier.select("s", F.col("vid").alias("src"), "sigma"),
+                config,
+                n_frontier,
+            )
+            .join(edges, "src")
+            .groupBy("s", F.col("dst").alias("vid"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        obs = Observation()
+        new_frontier = releaf(
+            cand.join(reached.select("s", "vid"), ["s", "vid"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = int(obs.get["n"])
+        if n_frontier == 0:
+            depth -= 1
+            break
+        frontier_sizes.append(n_frontier)
+        nxt = reached.unionByName(
+            new_frontier.withColumn("depth", F.lit(depth))
+        ).persist()
+        nxt.count()
+        reached.unpersist()
+        reached = nxt
+        frontier = new_frontier
+
+    # ---- backward: level-by-level dependency accumulation ------------
+    # cur = rows at the current (deepest-processed) level with delta
+    cur = (
+        reached.where(F.col("depth") == depth)
+        .select("s", "vid", "sigma")
+        .withColumn("delta", F.lit(0.0))
+    )
+    acc: DataFrame | None = None  # finished levels' (s, vid, delta)
+    for d in range(depth - 1, -1, -1):
+        lvl = reached.where(F.col("depth") == d).select("s", "vid", "sigma")
+        contrib = (
+            lvl.join(
+                edges.select(F.col("src").alias("vid"), "dst"), "vid"
+            )
+            .join(
+                cur.select(
+                    "s",
+                    F.col("vid").alias("dst"),
+                    F.col("sigma").alias("sigma_w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                ["s", "dst"],
+            )
+            .groupBy("s", "vid")
+            .agg(
+                F.sum(
+                    F.col("sigma")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        nxt_cur = releaf(
+            lvl.join(contrib, ["s", "vid"], "left")
+            .select(
+                "s",
+                "vid",
+                "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = cur.select("s", "vid", "delta")
+        acc = done if acc is None else acc.unionByName(done)
+        cur = nxt_cur
+    # source rows (depth 0) contribute nothing to their own score:
+    # Brandes sums delta_s(v) over v != s.
+    acc = cur.select("s", "vid", "delta") if acc is None else acc.unionByName(
+        cur.select("s", "vid", "delta")
+    )
+    scale = (graph.num_vertices / len(sources)) if estimate else 1.0
+    bc = (
+        acc.where(F.col("vid") != F.col("s"))
+        .groupBy("vid")
+        .agg((F.sum("delta") * F.lit(float(scale))).alias("bc"))
+    )
+    out = releaf(
+        graph.vertices.select("vid")
+        .join(bc, "vid", "left")
+        .select("vid", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+        .repartition(parts, "vid")
+        .localCheckpoint(eager=True)
+    )
+    if metrics_out is not None:
+        metrics_out["depth"] = depth
+        metrics_out["frontier_sizes"] = frontier_sizes
+        metrics_out["num_sources"] = len(sources)
+    reached.unpersist()
+    edges.unpersist()
+    return out

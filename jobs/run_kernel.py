@@ -267,7 +267,8 @@ def main() -> None:
         from planar_spark.kernels.betweenness import betweenness
 
         out, meta = betweenness(
-            g, num_sources=args.iterations or 16, config=cfg
+            g, num_sources=args.iterations or 16, config=cfg,
+            run_id=args.run_id, resume=args.resume,
         ), None
     elif args.kernel == "wsssp":
         from planar_spark.kernels.sssp import weighted_sssp

@@ -27,6 +27,13 @@ caller's memory/accuracy dial; the per-round work is frontier-sized.
 Counts ride Observations on the frontier checkpoints (zero standalone
 count jobs). Determinism: source sampling is top-out-degree with vid
 tie-break, so results are exactly reproducible and oracle-checkable.
+
+Durable resume: with ``config.checkpoint_dir`` set, the loop state is
+written through LoopCheckpointer every ``config.checkpoint_every``
+combined rounds (forward depth r = round r; backward level d = round
+depth + (depth - d)), including which phase the run was in;
+``resume=True`` with the same ``run_id`` re-enters the interrupted
+phase at the next round — the same contract as msf/scc/kcore.
 """
 
 from __future__ import annotations
@@ -34,9 +41,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.loopckpt import LoopCheckpointer
 from planar_spark.graph.skew import maybe_broadcast
 from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
+
+_ACC_SCHEMA = "s long, vid long, delta double"
 
 
 def top_degree_sources(graph: GraphTables, k: int) -> list[int]:
@@ -60,6 +70,9 @@ def betweenness(
     config: EngineConfig | None = None,
     max_depth: int = 200,
     metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """(vid, bc) over ALL vertices.
 
@@ -67,16 +80,46 @@ def betweenness(
     (top-out-degree). ``estimate=True`` scales the sampled dependency
     sum by |V|/k (the Brandes-Pich estimator); with ``estimate=False``
     and sources = all vertices the result is exact betweenness.
+    ``max_rounds`` caps the COMBINED forward+backward round count
+    (crash simulation for the resume tests); a capped run returns the
+    partial accumulation — resume to finish it.
     """
     config = config or EngineConfig()
-    spark = graph.edges.sparkSession
-    parts = config.num_partitions
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+    ckpt = LoopCheckpointer(spark, config, "betweenness", run_id=run_id)
+
+    # ---- restore -----------------------------------------------------
+    phase = "fwd"
+    depth = 0
+    d_next: int | None = None  # next backward level to process
+    frontier_sizes: list[int] = []
+    reached: DataFrame | None = None
+    frontier: DataFrame | None = None
+    cur: DataFrame | None = None
+    acc: DataFrame | None = None
+    n_frontier = 0
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, m = latest
+            phase = m["phase"]
+            depth = int(m["depth"])
+            sources = [int(s) for s in m["sources"]]
+            frontier_sizes = list(m.get("frontier_sizes", []))
+            reached = tables["reached"].repartition(parts, "vid").persist()
+            reached.count()
+            if phase == "fwd":
+                frontier = tables["frontier"]
+                n_frontier = int(m["n_frontier"])
+            else:
+                cur = tables["cur"]
+                acc = tables["acc"]
+                d_next = int(m["d_next"])
     if sources is None:
         sources = top_degree_sources(graph, num_sources)
     if not sources:
-        return graph.vertices.select(
-            "vid", F.lit(0.0).alias("bc")
-        )
+        return graph.vertices.select("vid", F.lit(0.0).alias("bc"))
 
     # parallel edges don't create additional shortest paths — dedup once
     # (one shuffle at kernel entry, reused by every forward AND backward
@@ -89,21 +132,41 @@ def betweenness(
     )
     edges.count()
 
+    rounds_left = max_rounds if max_rounds is not None else (1 << 30)
+
+    def save(rnd: int, tables: dict, extra: dict) -> None:
+        ckpt.save(
+            rnd,
+            tables,
+            {
+                "phase": phase,
+                "depth": depth,
+                "sources": [int(s) for s in sources],
+                "frontier_sizes": frontier_sizes,
+                **extra,
+            },
+        )
+
     # ---- forward: multi-source BFS with path counts ------------------
-    src_df = spark.createDataFrame(
-        [(int(s),) for s in sources], "s long"
-    )
-    frontier = releaf(
-        src_df.select(
-            "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma")
-        ).localCheckpoint(eager=True)
-    )
-    n_frontier = len(sources)
-    reached = frontier.withColumn("depth", F.lit(0)).persist()
-    reached.count()
-    depth = 0
-    frontier_sizes = [n_frontier]
-    while n_frontier > 0 and depth < max_depth:
+    if reached is None:
+        src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
+        frontier = releaf(
+            src_df.select(
+                "s", F.col("s").alias("vid"), F.lit(1.0).alias("sigma")
+            ).localCheckpoint(eager=True)
+        )
+        n_frontier = len(sources)
+        reached = frontier.withColumn("depth", F.lit(0)).persist()
+        reached.count()
+        frontier_sizes = [n_frontier]
+    while phase == "fwd":
+        if n_frontier == 0 or depth >= max_depth:
+            phase = "bwd"
+            d_next = depth - 1
+            break
+        if rounds_left <= 0:
+            break
+        rounds_left -= 1
         depth += 1
         cand = (
             maybe_broadcast(
@@ -124,6 +187,8 @@ def betweenness(
         n_frontier = int(obs.get["n"])
         if n_frontier == 0:
             depth -= 1
+            phase = "bwd"
+            d_next = depth - 1
             break
         frontier_sizes.append(n_frontier)
         nxt = reached.unionByName(
@@ -133,21 +198,30 @@ def betweenness(
         reached.unpersist()
         reached = nxt
         frontier = new_frontier
+        save(
+            depth,
+            {"reached": reached, "frontier": frontier},
+            {"n_frontier": n_frontier},
+        )
 
     # ---- backward: level-by-level dependency accumulation ------------
-    # cur = rows at the current (deepest-processed) level with delta
-    cur = (
-        reached.where(F.col("depth") == depth)
-        .select("s", "vid", "sigma")
-        .withColumn("delta", F.lit(0.0))
-    )
-    acc: DataFrame | None = None  # finished levels' (s, vid, delta)
-    for d in range(depth - 1, -1, -1):
+    if phase == "bwd" and cur is None:
+        # cur = rows at the deepest level with delta = 0; acc collects
+        # finished levels' (s, vid, delta)
+        cur = (
+            reached.where(F.col("depth") == depth)
+            .select("s", "vid", "sigma")
+            .withColumn("delta", F.lit(0.0))
+        )
+        acc = spark.createDataFrame([], _ACC_SCHEMA)
+    while phase == "bwd" and d_next is not None and d_next >= 0:
+        if rounds_left <= 0:
+            break
+        rounds_left -= 1
+        d = d_next
         lvl = reached.where(F.col("depth") == d).select("s", "vid", "sigma")
         contrib = (
-            lvl.join(
-                edges.select(F.col("src").alias("vid"), "dst"), "vid"
-            )
+            lvl.join(edges.select(F.col("src").alias("vid"), "dst"), "vid")
             .join(
                 cur.select(
                     "s",
@@ -176,19 +250,27 @@ def betweenness(
             )
             .localCheckpoint(eager=True)
         )
-        done = cur.select("s", "vid", "delta")
-        acc = done if acc is None else acc.unionByName(done)
+        acc = acc.unionByName(cur.select("s", "vid", "delta"))
         cur = nxt_cur
-    # source rows (depth 0) contribute nothing to their own score:
-    # Brandes sums delta_s(v) over v != s.
-    acc = cur.select("s", "vid", "delta") if acc is None else acc.unionByName(
-        cur.select("s", "vid", "delta")
-    )
+        d_next = d - 1
+        save(
+            depth + (depth - d),
+            {"reached": reached, "cur": cur, "acc": acc},
+            {"d_next": d_next},
+        )
+    finished = phase == "bwd" and (d_next is None or d_next < 0)
+    if finished and cur is not None:
+        # source rows (depth 0) contribute nothing to their own score:
+        # Brandes sums delta_s(v) over v != s.
+        acc = acc.unionByName(cur.select("s", "vid", "delta"))
+
     scale = (graph.num_vertices / len(sources)) if estimate else 1.0
     bc = (
         acc.where(F.col("vid") != F.col("s"))
         .groupBy("vid")
         .agg((F.sum("delta") * F.lit(float(scale))).alias("bc"))
+        if acc is not None
+        else spark.createDataFrame([], "vid long, bc double")
     )
     out = releaf(
         graph.vertices.select("vid")
@@ -201,6 +283,7 @@ def betweenness(
         metrics_out["depth"] = depth
         metrics_out["frontier_sizes"] = frontier_sizes
         metrics_out["num_sources"] = len(sources)
+        metrics_out["finished"] = finished
     reached.unpersist()
     edges.unpersist()
     return out

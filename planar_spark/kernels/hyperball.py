@@ -470,7 +470,12 @@ def hyperball_centralities(
         dist_total += r * delta_r
 
     and closeness_est = (est_R - 1) / dist_total at the end — the same
-    Wasserman-Faust truncation the exact kernel computes. The HLL
+    Wasserman-Faust truncation the exact kernel computes. ``ecc_est``
+    rides the same deltas for free: the truncated out-eccentricity
+    min(ecc(v), radius) is the last radius whose ball still grew
+    (delta_r > 0.5 — deltas are integral in the sparse-exact range and
+    clamped wobble can't cross the half-vertex threshold in dense
+    range). The HLL
     registers only grow under union, but the Datasketches ESTIMATOR is
     not strictly monotone across its sparse/dense/bias-corrected mode
     switches, so a per-round estimate can wobble slightly downward;
@@ -503,6 +508,7 @@ def hyperball_centralities(
             est.alias("prev_est"),
             F.lit(0.0).alias("h"),
             F.lit(0.0).alias("dist_total"),
+            F.lit(0).alias("ecc"),
         )
         .repartition(parts, "vid")
         .localCheckpoint(eager=True)
@@ -525,11 +531,11 @@ def hyperball_centralities(
             .select(
                 "vid",
                 merged.alias("sk"),
-                "prev_est", "h", "dist_total",
+                "prev_est", "h", "dist_total", "ecc",
             )
             .select(
                 "vid", "sk", est.alias("_est"),
-                "prev_est", "h", "dist_total",
+                "prev_est", "h", "dist_total", "ecc",
             )
             .select(
                 "vid", "sk",
@@ -539,6 +545,9 @@ def hyperball_centralities(
                 (F.col("h") + delta / F.lit(float(r))).alias("h"),
                 (F.col("dist_total") + F.lit(float(r)) * delta).alias(
                     "dist_total"
+                ),
+                F.when(delta > 0.5, F.lit(r)).otherwise(F.col("ecc")).alias(
+                    "ecc"
                 ),
             )
             .localCheckpoint(eager=True)
@@ -554,6 +563,7 @@ def hyperball_centralities(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("closeness_est"),
+        F.col("ecc").cast("long").alias("ecc_est"),
     )
     rev.unpersist()
     return out

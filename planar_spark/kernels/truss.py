@@ -41,15 +41,20 @@ decrements into a broadcast cumulative-decrement table — rounds write
 only frontier-sized tables, never the O(#tri)/O(E) bases (compacted
 back into the bases past ``compact_rows`` so broadcasts stay bounded).
 
-Measured crossover (BENCH ktruss_delta_* rows, mode-matched): the
-delta form wins DEEP cascades — a 19-round geometric-gradient peel
-runs ~1.4x faster (≈44s vs ≈65s) because 19 wedge re-joins cost more
-than one materialization — and LOSES shallow web-shaped peels ~2.5-3x
-(sf0.1, 1-2 rounds: ≈17s vs ≈6s) where the one-time O(#triangles)
-localCheckpoint dominates. Web/link graphs peel shallow, so RECOMPUTE
-stays the default (and the durable form); flip the flag when the
-cascade is known deep. Both forms return the identical unique k-truss
-(pytest-asserted equal).
+Measured crossover (bench ``ktruss_cascade*`` rows + a dedicated
+3x-interleaved probe-tagged A/B on the 20-round geometric-gradient
+fixture): the delta form won every interleaved pair on the DEEP
+cascade but only by ~4% at the medians (52.9s vs 55.1s; single
+mode-lucky runs have shown up to 1.4x, single mode-unlucky runs
+parity-to-worse — the host's bimodal memory mode swamps the gap), and
+it LOSES shallow web-shaped peels ~2.5-3x (sf0.1, 1-2 rounds: ≈15s vs
+≈5s) where its one-time O(#triangles) localCheckpoint dominates.
+Web/link graphs peel shallow and the deep-cascade edge is inside host
+noise, so RECOMPUTE stays the default (and the durable form); the
+flag exists for known-deep cascades where the frontier-sized rounds
+also bound executor memory, not for a reliable single-box wall-clock
+win. Both forms return the identical unique k-truss (pytest-asserted
+equal).
 """
 
 from __future__ import annotations

@@ -179,10 +179,12 @@ def test_hyperball_centralities_match_exact(spark, config):
     n, r = 120, 3
     edges = edges_powerlaw(n, m=3, seed=31)
     g = graph_from_numpy(spark, edges, n)
+    rows = hyperball_centralities(g, r, config).collect()
     est = {
         row["vid"]: (row["nf_est"], row["harmonic_est"], row["closeness_est"])
-        for row in hyperball_centralities(g, r, config).collect()
+        for row in rows
     }
+    ecc_est = {row["vid"]: row["ecc_est"] for row in rows}
     want_h = {
         row["vid"]: row["harmonic"]
         for row in harmonic_centrality(g, r, config).collect()
@@ -192,12 +194,34 @@ def test_hyperball_centralities_match_exact(spark, config):
         for row in closeness_centrality(g, r, config).collect()
     }
     assert set(est) == set(want_h)
+    # exact truncated out-eccentricity min(ecc(v), r) by python BFS
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[int(a)].add(int(b))
+    want_ecc = {}
+    for v in range(n):
+        seen, q, depth, ecc = {v}, deque([(v, 0)]), 0, 0
+        while q:
+            u, d = q.popleft()
+            if d >= r:
+                continue
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    ecc = max(ecc, d + 1)
+                    q.append((w, d + 1))
+        want_ecc[v] = ecc
     for v in est:
         nf_est, h_est, c_est = est[v]
         reached, closeness = want_c[v]
         assert nf_est == pytest.approx(reached, rel=0.05)
         assert h_est == pytest.approx(want_h[v], rel=0.05, abs=0.05)
         assert c_est == pytest.approx(closeness, rel=0.05, abs=0.02)
+        # sparse-exact range: the sketch eccentricity is exact here
+        assert ecc_est[v] == want_ecc[v], (v, ecc_est[v], want_ecc[v])
 
 
 def test_hyperball_nf_profile_and_diameter_match_exact(spark, config):

@@ -193,3 +193,60 @@ def test_loop_ckpt_ignores_incomplete_round(spark, tmp_path):
     ck = LoopCheckpointer(spark, cfg, "msf", run_id="msfX")
     found = ck.latest()
     assert found is not None and found[0] == 1
+
+
+def test_betweenness_resume_equals_uninterrupted(spark, tmp_path):
+    from planar_spark.kernels.betweenness import betweenness
+
+    edges = np.array(
+        [(int(a), int(b)) for a, b in edges_powerlaw(60, m=2, seed=13)]
+    )
+    g = graph_from_numpy(spark, edges, 60)
+    cfg = _cfg(tmp_path)
+    srcs = [0, 1, 2, 3]
+
+    full_m: dict = {}
+    full = {
+        r["vid"]: r["bc"]
+        for r in betweenness(
+            g, sources=srcs, estimate=False, config=cfg, metrics_out=full_m
+        ).collect()
+    }
+    assert full_m["finished"]
+    depth = full_m["depth"]
+    assert depth >= 2  # the crash points below must be genuinely partial
+
+    # crash mid-FORWARD (after 1 of >=2 BFS rounds), resume to the end
+    partial_m: dict = {}
+    betweenness(
+        g, sources=srcs, estimate=False, config=cfg,
+        run_id="bw1", max_rounds=1, metrics_out=partial_m,
+    )
+    assert not partial_m["finished"]
+    res_m: dict = {}
+    resumed = {
+        r["vid"]: r["bc"]
+        for r in betweenness(
+            g, sources=srcs, estimate=False, config=cfg,
+            run_id="bw1", resume=True, metrics_out=res_m,
+        ).collect()
+    }
+    assert res_m["finished"] and res_m["depth"] == depth
+    assert set(resumed) == set(full)
+    for v in full:
+        assert abs(resumed[v] - full[v]) < 1e-9, (v, resumed[v], full[v])
+
+    # crash mid-BACKWARD (forward done + 1 of >=2 levels), resume
+    betweenness(
+        g, sources=srcs, estimate=False, config=cfg,
+        run_id="bw2", max_rounds=depth + 2,
+    )
+    resumed2 = {
+        r["vid"]: r["bc"]
+        for r in betweenness(
+            g, sources=srcs, estimate=False, config=cfg,
+            run_id="bw2", resume=True,
+        ).collect()
+    }
+    for v in full:
+        assert abs(resumed2[v] - full[v]) < 1e-9, (v, resumed2[v], full[v])

@@ -655,6 +655,97 @@ def _closeness_sql() -> str:
     )
 
 
+BC_SOURCES = 8   # k-source Brandes sample size in the centrality gate
+BC_DEPTH = 8     # >= max BFS depth from the top-8 sources (measured:
+                 # 6 at sf0.001, 4 at sf0.01; extra levels are no-ops)
+
+
+def _betweenness_sql() -> str:
+    """Unrolled k-source Brandes (kernels/betweenness.py) — forward
+    multi-source BFS levels carrying sigma path counts, then backward
+    level-by-level dependency accumulation, then the Brandes-Pich
+    |V|/k estimator scale. Sigma sums are exact integers in double;
+    the delta ratio sums are rounded to 4 decimals on BOTH sides so
+    association-order noise (~1e-12) never flips a value."""
+    d_max = BC_DEPTH
+    parts = [
+        f"WITH {_EDGES},",
+        "odeg AS MATERIALIZED (SELECT v.vid, COALESCE(d.c, 0) AS out_deg"
+        " FROM verts v LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges"
+        " GROUP BY src) d ON v.vid = d.src),",
+        f"srcs AS MATERIALIZED (SELECT vid AS s FROM odeg"
+        f" ORDER BY out_deg DESC, vid ASC LIMIT {BC_SOURCES}),",
+        "f0 AS MATERIALIZED (SELECT s, s AS vid,"
+        " CAST(1 AS DOUBLE) AS sigma FROM srcs),",
+        "reach0 AS MATERIALIZED (SELECT s, vid, sigma, 0 AS depth FROM f0)",
+    ]
+    for k in range(1, d_max + 1):
+        p = k - 1
+        parts.append(
+            f", c{k} AS (SELECT f.s, e.dst AS vid, SUM(f.sigma) AS sigma"
+            f" FROM f{p} f JOIN edges e ON f.vid = e.src GROUP BY f.s, e.dst)"
+        )
+        parts.append(
+            f", f{k} AS MATERIALIZED (SELECT c.s, c.vid, c.sigma FROM c{k} c"
+            f" WHERE NOT EXISTS (SELECT 1 FROM reach{p} r"
+            f" WHERE r.s = c.s AND r.vid = c.vid))"
+        )
+        parts.append(
+            f", reach{k} AS MATERIALIZED (SELECT * FROM reach{p}"
+            f" UNION ALL SELECT s, vid, sigma, {k} AS depth FROM f{k})"
+        )
+    parts.append(
+        f", cur{d_max} AS MATERIALIZED (SELECT s, vid, sigma,"
+        f" CAST(0 AS DOUBLE) AS delta FROM reach{d_max} WHERE depth = {d_max})"
+    )
+    for d in range(d_max - 1, -1, -1):
+        parts.append(
+            f", ct{d} AS (SELECT l.s, l.vid,"
+            f" SUM(l.sigma / c.sigma * (1 + c.delta)) AS delta"
+            f" FROM reach{d_max} l JOIN edges e ON l.vid = e.src"
+            f" JOIN cur{d + 1} c ON c.s = l.s AND c.vid = e.dst"
+            f" WHERE l.depth = {d} GROUP BY l.s, l.vid)"
+        )
+        parts.append(
+            f", cur{d} AS MATERIALIZED (SELECT l.s, l.vid, l.sigma,"
+            f" COALESCE(ct.delta, 0) AS delta FROM reach{d_max} l"
+            f" LEFT JOIN ct{d} ct ON l.s = ct.s AND l.vid = ct.vid"
+            f" WHERE l.depth = {d})"
+        )
+    allcur = " UNION ALL ".join(
+        f"SELECT s, vid, delta FROM cur{d}" for d in range(d_max + 1)
+    )
+    parts.append(f", alldelta AS MATERIALIZED ({allcur})")
+    parts.append(
+        ", bcraw AS MATERIALIZED (SELECT vid, SUM(delta) AS bc"
+        " FROM alldelta WHERE vid <> s GROUP BY vid)"
+    )
+    parts.append(
+        f"SELECT v.vid, ROUND(COALESCE(b.bc, 0) *"
+        f" ((SELECT COUNT(*) FROM verts) / CAST({BC_SOURCES} AS DOUBLE)), 4)"
+        f" AS bc FROM verts v LEFT JOIN bcraw b ON v.vid = b.vid"
+    )
+    return "\n".join(parts)
+
+
+def _centrality_profile_sql() -> str:
+    """harmonic + closeness (+ its reached count) + k-source Brandes
+    betweenness melted to one (kind, vid, value) gate — each leg its
+    standalone oracle as a CTE-in-subquery (the decomposition_profile
+    consolidation pattern). Frees a registry slot vs the r5 separate
+    harmonic/closeness gates while adding betweenness to the hard
+    value-hash contract."""
+    return f"""SELECT 'harmonic' AS kind, vid, harmonic AS value
+FROM ({_harmonic_sql()})
+UNION ALL
+SELECT 'closeness', vid, closeness FROM ({_closeness_sql()})
+UNION ALL
+SELECT 'closeness_reached', vid, CAST(reached AS DOUBLE)
+FROM ({_closeness_sql()})
+UNION ALL
+SELECT 'betweenness', vid, bc FROM ({_betweenness_sql()})"""
+
+
 def _assortativity_sql() -> str:
     """Newman degree assortativity from exact-integer sufficient
     statistics (see kernels/graphstats.degree_assortativity)."""
@@ -1615,17 +1706,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _graph(spark, sf_dir)
         return triad_census(g, _cfg())
 
-    def q_harmonic_centrality(spark, sf_dir):
-        from planar_spark.kernels.hyperball import harmonic_centrality
+    def q_centrality_profile(spark, sf_dir):
+        # consolidated gate (r6): truncated harmonic + closeness (the
+        # r5 separate gates) + k-source Brandes betweenness melted to
+        # (kind, vid, value) — one hard value-hash for all three
+        # centrality kernels. Floats are rounded identically on both
+        # sides (6 dp for the level-sum centralities, 4 dp for the
+        # betweenness delta ratios) so association-order noise never
+        # flips a value.
+        from planar_spark.kernels.betweenness import betweenness
+        from planar_spark.kernels.hyperball import (
+            closeness_centrality,
+            harmonic_centrality,
+        )
 
         g = _graph(spark, sf_dir)
-        return harmonic_centrality(g, NF_RADIUS, _cfg())
-
-    def q_closeness_centrality(spark, sf_dir):
-        from planar_spark.kernels.hyperball import closeness_centrality
-
-        g = _graph(spark, sf_dir)
-        return closeness_centrality(g, NF_RADIUS, _cfg())
+        cfg = _cfg()
+        harm = harmonic_centrality(g, NF_RADIUS, cfg).select(
+            F.lit("harmonic").alias("kind"),
+            "vid",
+            F.round("harmonic", 6).alias("value"),
+        )
+        clo_df = closeness_centrality(g, NF_RADIUS, cfg)
+        clo = clo_df.select(
+            F.lit("closeness").alias("kind"),
+            "vid",
+            F.round("closeness", 6).alias("value"),
+        )
+        crc = clo_df.select(
+            F.lit("closeness_reached").alias("kind"),
+            "vid",
+            F.col("reached").cast("double").alias("value"),
+        )
+        bc = betweenness(
+            g, num_sources=BC_SOURCES, estimate=True, config=cfg
+        ).select(
+            F.lit("betweenness").alias("kind"),
+            "vid",
+            F.round("bc", 4).alias("value"),
+        )
+        return harm.unionAll(clo).unionAll(crc).unionAll(bc)
 
     def q_effective_diameter(spark, sf_dir):
         from planar_spark.kernels.hyperball import effective_diameter
@@ -2183,8 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram": q_distance_histogram,
         "effective_diameter": q_effective_diameter,
         "triad_census": q_triad_census,
-        "harmonic_centrality": q_harmonic_centrality,
-        "closeness_centrality": q_closeness_centrality,
+        "centrality_profile": q_centrality_profile,
         "local_clustering": q_local_clustering,
         "graph_profile": q_graph_profile,
         "edge_sample": q_edge_sample,
@@ -2307,8 +2426,7 @@ FROM documents d CROSS JOIN pos""",
         "distance_histogram": _dist_hist_sql(),
         "effective_diameter": _eff_diam_sql(),
         "triad_census": _triad_sql(),
-        "harmonic_centrality": _harmonic_sql(),
-        "closeness_centrality": _closeness_sql(),
+        "centrality_profile": _centrality_profile_sql(),
         "ktruss": _ktruss_sql(),
         "sssp_weighted": _wsssp_sql(),
         # warm-start = exact step-continuation, so the converged result

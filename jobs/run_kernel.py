@@ -66,6 +66,12 @@ def main() -> None:
     ap.add_argument(
         "--k", type=int, default=8, help="k for the k-core / k-truss kernels"
     )
+    ap.add_argument(
+        "--wcc-algorithm", choices=["hashmin", "boruvka"], default="hashmin",
+        help="wcc rounds: hashmin = cheap O(diameter) supersteps "
+        "(low-diameter graphs), boruvka = O(log V)-guaranteed rounds "
+        "(high-diameter graphs)",
+    )
     args = ap.parse_args()
     if not (args.pages or args.graph):
         ap.error("one of --pages / --graph is required")
@@ -106,7 +112,8 @@ def main() -> None:
         out, meta = r.state.select("vid", "pr"), r
     elif args.kernel == "wcc":
         r = connected_components(g, cfg, engine=engine("connected_components"),
-                                 resume=args.resume)
+                                 resume=args.resume,
+                                 algorithm=args.wcc_algorithm)
         out, meta = r.state, r
     elif args.kernel == "lpa":
         r = label_propagation(g, cfg, num_iterations=args.iterations,

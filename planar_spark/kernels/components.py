@@ -21,6 +21,11 @@ Termination: the label-sum invariant — labels only decrease, so an
 unchanged sum(label) between supersteps is a fixpoint proof (one cheap
 aggregate; the reference's analogue is the active-count,
 bsp_update_store.h:111-125).
+
+Round complexity (r6 honesty note): hash-min + single-jump rounds are
+O(diameter) worst case, NOT O(log) — see connected_components's
+``algorithm`` doc. ``algorithm="boruvka"`` is the O(log V)-guaranteed
+high-diameter path.
 """
 
 from __future__ import annotations
@@ -41,6 +46,7 @@ def connected_components(
     two_hop_init: bool = False,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    algorithm: str = "hashmin",
 ) -> SuperstepResult:
     """Returns state (vid, label) with label = min vid of the component.
 
@@ -50,8 +56,52 @@ def connected_components(
     nvme/apps/wcc_nvme_app.h:77-93; CSR compaction
     pram_block.h:176-250). In Spark the "mutation" is just a filtered
     re-materialized DataFrame per round.
+
+    ``algorithm`` picks the round structure:
+
+    - ``"hashmin"`` (default, the reference's WCC): one cheap
+      edge-gather superstep per round. Rounds are O(diameter) WORST
+      CASE — pointer jumping compresses label CHAINS, but once a
+      vertex's label is a root (the min it knows is its own ball's
+      min), jumping is a no-op and reach still grows ~1 hop/round
+      (measured: a 997-vertex random-labeled cycle is <50% converged
+      after 50 rounds). The right mode for low-diameter graphs — web
+      link graphs, social graphs — where it converges in <15 rounds.
+    - ``"boruvka"``: hook-to-min + FULL pointer doubling + contraction
+      (the MSF loop on the unweighted graph, kernels/mst.py). Heavier
+      rounds (edge⋈labels both sides + O(log) jump jobs) but O(log V)
+      rounds GUARANTEED regardless of diameter — the mode for
+      high-diameter graphs (long chains: pagination trails, ID-remap
+      artifacts). Exactness is identical (label = component min vid,
+      pytest-checked against union-find on an adversarial cycle
+      fixture). Always returns ``converged=True`` (empty-pick is a
+      fixpoint proof); ``resume``/checkpointing ride the msf kernel's
+      LoopCheckpointer (kernel name ``msf``).
+
+    A production driver at unknown diameter: run hashmin with a round
+    budget; if ``converged`` comes back False, fall back to boruvka
+    rather than raising the budget (hashmin's remaining rounds scale
+    with the uncovered diameter, boruvka's with log V).
     """
     config = config or EngineConfig()
+    if algorithm == "boruvka":
+        from planar_spark.kernels.mst import boruvka_msf
+
+        lab_out: dict = {}
+        boruvka_msf(
+            graph,
+            config,
+            metrics_out={},
+            labels_out=lab_out,
+            resume=resume,
+        )
+        return SuperstepResult(
+            state=lab_out["labels"],
+            steps_run=int(lab_out["rounds"]),
+            converged=True,
+            metrics=[],
+        )
+    assert algorithm == "hashmin", f"unknown algorithm: {algorithm}"
     # NOTE: WCC stays on localCheckpoint state (the engine default), NOT
     # cache-mode: each round references the label state 4x (gather +
     # min-merge + the pointer-jump self-join), so a cached lineage tree

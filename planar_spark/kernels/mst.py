@@ -56,6 +56,7 @@ def boruvka_msf(
     run_id: str | None = None,
     resume: bool = False,
     weights: DataFrame | None = None,
+    labels_out: dict | None = None,
 ) -> DataFrame:
     """Returns the spanning-forest edges (a, b) with a < b — plus a
     ``w`` column when real ``weights`` are given.
@@ -73,6 +74,15 @@ def boruvka_msf(
     ``metrics_out`` (optional dict) receives ``rounds``, ``jumps`` (total
     pointer-doubling jobs across all rounds) and ``picked_per_round`` —
     used by the job-diet regression test and the bench extras.
+
+    ``labels_out`` (optional dict) receives ``labels``: the final
+    (vid, label) table, label = min vid of the connected component —
+    Boruvka's hook-to-min + full pointer doubling converges every
+    cluster to its min-vid root, so at the empty-pick fixpoint the
+    labels ARE exact WCC labels, reached in O(log V) rounds regardless
+    of diameter (component count at least halves per round). This is
+    the high-diameter components path ``connected_components(
+    algorithm="boruvka")`` rides.
 
     Durable resume: with ``config.checkpoint_dir`` set, every
     ``config.checkpoint_every``-th completed Boruvka round writes the
@@ -236,6 +246,9 @@ def boruvka_msf(
         metrics_out["rounds"] = rounds
         metrics_out["jumps"] = total_jumps
         metrics_out["picked_per_round"] = picked_per_round
+    if labels_out is not None:
+        labels_out["labels"] = labels
+        labels_out["rounds"] = rounds
     if not forest_parts:
         if weights is not None:
             # mirror the caller's weight type: an edgeless graph must

@@ -76,8 +76,51 @@ def test_pointer_jumping_converges_faster(spark, config):
     g = graph_from_numpy(spark, edges_ring(n), n)
     fast = connected_components(g, config, pointer_jumping=True)
     assert fast.converged
-    # a 64-ring needs ~63 plain hash-min rounds; pointer jumping is O(log n)
+    # on an ID-ORDERED ring the hash-min labels form long chains that
+    # pointer jumping collapses exponentially (NOT a general O(log n)
+    # claim — see the adversarial cycle test below)
     assert fast.steps_run <= 10
+
+
+def _permuted_cycle(n: int, mult: int) -> np.ndarray:
+    """A single n-cycle whose vertex ids are scrambled by v -> v*mult
+    mod n (mult coprime to n): diameter n/2 with label-adversarial ids
+    — the hash-min worst case (the component min roots immediately, so
+    pointer jumping is a no-op and reach grows ~1 hop/round)."""
+    return np.array(
+        [((i * mult) % n, ((i + 1) * mult) % n) for i in range(n)],
+        dtype=np.int64,
+    )
+
+
+def test_hashmin_is_diameter_bound_and_boruvka_mode_is_not(spark, config):
+    """r6 find: hash-min + single-jump rounds are O(diameter) worst
+    case. On a 331-vertex randomly-labeled cycle a 25-round budget
+    must NOT converge (honesty check: if this starts passing, the
+    kernel changed); algorithm="boruvka" converges to the exact
+    union-find labels in O(log V) rounds on the same graph."""
+    n, mult = 331, 119
+    edges = _permuted_cycle(n, mult)
+    want = oracle_components(edges, n)
+    assert (want == 0).all()  # single component, sanity
+
+    slow = connected_components(g := graph_from_numpy(spark, edges, n),
+                                config, max_iterations=25)
+    assert not slow.converged
+
+    fast = connected_components(g, config, algorithm="boruvka")
+    assert fast.converged
+    assert fast.steps_run <= 10  # ~log2(331) Boruvka rounds
+    got = _labels_array(fast, n)
+    assert (got == want).all()
+
+
+def test_boruvka_mode_matches_oracle_on_standard_cases(spark, config):
+    for name, edges, n in CASES:
+        g = graph_from_numpy(spark, edges, n)
+        r = connected_components(g, config, algorithm="boruvka")
+        assert r.converged, name
+        assert (_labels_array(r, n) == oracle_components(edges, n)).all(), name
 
 
 @pytest.mark.parametrize(

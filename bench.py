@@ -384,6 +384,54 @@ def main() -> None:
     timed_extra("near_dup_clusters", lambda: near_dup_clusters(docs).count())
     timed_extra("embedding_ann_topk", lambda: embedding_ann_topk(emb).count())
 
+    # High-diameter WCC (r6): 16 scrambled 4096-cycles (65k vertices,
+    # diameter 2048, label-adversarial ids). Hash-min rounds are
+    # O(diameter) on this shape (kernels/components.py r6 honesty
+    # note) — a capped-budget run documents the stall; the Boruvka
+    # mode's O(log V) round guarantee is the scale path. On LOW-
+    # diameter graphs boruvka-mode cost == msf_sec (identical loop),
+    # so no separate low-diameter row.
+    cyc_c, cyc_blocks, cyc_mult = 4096, 16, 1215  # mult coprime to 4096
+    cyc = (
+        spark.range(cyc_c * cyc_blocks)
+        .select(
+            (
+                (F.col("id") % cyc_blocks) * cyc_c
+                + (F.floor(F.col("id") / cyc_blocks) * cyc_mult) % cyc_c
+            ).alias("src"),
+            (
+                (F.col("id") % cyc_blocks) * cyc_c
+                + ((F.floor(F.col("id") / cyc_blocks) + 1) * cyc_mult) % cyc_c
+            ).alias("dst"),
+        )
+    )
+    g_hd = GraphTables.from_edges(cyc, num_partitions=parts)
+    hm_res: dict = {}
+
+    def run_hd_hashmin():
+        r = connected_components(g_hd, cfg, max_iterations=15)
+        hm_res["converged"] = r.converged
+        hm_res["labels"] = r.state.select("label").distinct().count()
+
+    timed_extra("wcc_highdiam_hashmin15", run_hd_hashmin)
+    extras["wcc_highdiam_hashmin15_converged"] = hm_res.get("converged")
+    extras["wcc_highdiam_hashmin15_labels"] = hm_res.get("labels")
+    bv_res: dict = {}
+
+    def run_hd_boruvka():
+        r = connected_components(g_hd, cfg, algorithm="boruvka")
+        bv_res["converged"] = r.converged
+        bv_res["rounds"] = r.steps_run
+        bv_res["labels"] = r.state.select("label").distinct().count()
+
+    timed_extra("wcc_highdiam_boruvka", run_hd_boruvka)
+    extras["wcc_highdiam_boruvka_rounds"] = bv_res.get("rounds")
+    # exact truth: one label per cycle block
+    extras["wcc_highdiam_boruvka_exact"] = (
+        bv_res.get("converged") is True and bv_res.get("labels") == cyc_blocks
+    )
+    g_hd.unpersist()
+
 
     # Big-graph pass at ~16x the edges: PageRank + WCC plus the
     # ROUND-HEAVY kernels (msf/scc/coloring/kcore) whose real scale cost

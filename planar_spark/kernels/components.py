@@ -262,10 +262,14 @@ def incremental_wcc(
       1. contract: map each new edge to its (label(src), label(dst))
          pair, drop intra-component pairs — a LABEL graph whose size is
          bounded by the new-edge count, independent of V and E;
-      2. run hash-min CC (with pointer jumping) on that tiny label
-         graph: root = min old label of each merged component group —
-         the correct new component minimum, since every old label IS
-         its component's min vid;
+      2. run CC on that tiny label graph in Boruvka mode (O(log V)
+         rounds GUARANTEED + converged=True by construction — a
+         chain-shaped delta, e.g. new edges linking a pagination
+         series end-to-end, makes the label graph high-diameter, which
+         stalls hash-min's O(diameter) rounds and previously returned
+         silently-unconverged labels here): root = min old label of
+         each merged component group — the correct new component
+         minimum, since every old label IS its component's min vid;
       3. one broadcast-join maps old labels to their merged root;
          untouched components pass through unchanged.
 
@@ -299,7 +303,7 @@ def incremental_wcc(
             old_labels.sparkSession
         )
     )
-    cc = connected_components(lg, config, pointer_jumping=True).state
+    cc = connected_components(lg, config, algorithm="boruvka").state
     mapping = cc.select(
         F.col("vid").alias("label"), F.col("label").alias("_root")
     )

@@ -687,17 +687,25 @@ def near_dup_clusters(
     max_rounds: int = 64,
     max_bucket: int = 100_000,
     metrics_out: dict | None = None,
+    algorithm: str = "hashmin",
+    config=None,
 ) -> DataFrame:
     """(doc_id, canonical_id) — end-to-end near-dup dedup: LSH candidate
     pairs, exact Jaccard filter at ``threshold``, then connected
-    components of the pair graph via hash-min label exchange iterated
-    TO A FIXPOINT (the per-round changed-count rides the label
-    checkpoint job as an Observation, so the exactness guarantee costs
-    no extra driver actions). A fixed round count would silently
-    under-merge a pairwise near-dup CHAIN whose pair-graph diameter
-    exceeds it — clusters are usually near-cliques, but "usually" is
-    not a correctness argument. canonical_id = min doc_id in the
-    cluster; unclustered docs are their own canonical."""
+    components of the pair graph (kernels/components.py) to a PROVEN
+    fixpoint — fail-loud if the round budget is exhausted, because a
+    fixed round count would silently under-merge a pairwise near-dup
+    CHAIN whose pair-graph diameter exceeds it (clusters are usually
+    near-cliques, but "usually" is not a correctness argument).
+    canonical_id = min doc_id in the cluster; unclustered docs are
+    their own canonical.
+
+    Scale shape (r6): the label loop runs over the PAIR-GRAPH
+    ENDPOINTS only (O(near-dup docs), not O(corpus)); the full corpus
+    joins the mapping once at the end. ``algorithm="boruvka"`` swaps
+    the hash-min supersteps for the O(log V)-guaranteed Boruvka mode —
+    the right call when dup chains are long (boilerplate series,
+    pagination trails); hash-min rounds are O(chain diameter)."""
     from pyspark.sql import Observation
 
     from planar_spark.graph.superstep import releaf
@@ -724,49 +732,45 @@ def near_dup_clusters(
         .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_dup_edges = int(obs_e.get["n"] or 0)
     if metrics_out is not None:
-        metrics_out["dup_edges"] = int(obs_e.get["n"] or 0)
-    sym = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    labels = releaf(
-        docs.select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint(eager=True)
+        metrics_out["dup_edges"] = n_dup_edges
+    if n_dup_edges == 0:
+        if metrics_out is not None:
+            metrics_out["rounds"] = 0
+        return docs.select(
+            "doc_id", F.col("doc_id").alias("canonical_id")
+        )
+    from planar_spark.graph.tables import GraphTables
+    from planar_spark.kernels.components import connected_components
+
+    lg = GraphTables.from_edges(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    converged = False
-    rounds = 0
-    for _ in range(max_rounds):
-        rounds += 1
-        msgs = sym.join(labels, sym["src"] == labels["doc_id"]).select(
-            F.col("dst").alias("doc_id"), "label"
-        )
-        mins = msgs.groupBy("doc_id").agg(F.min("label").alias("ml"))
-        obs = Observation()
-        labels = releaf(
-            labels.join(mins, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("label", F.coalesce("ml", F.col("label"))).alias(
-                    "label"
-                ),
-                (F.coalesce("ml", F.col("label")) < F.col("label"))
-                .cast("long")
-                .alias("_moved"),
-            )
-            .observe(obs, F.sum("_moved").alias("changed"))
-            .drop("_moved")
-            .localCheckpoint(eager=True)
-        )
-        if int(obs.get["changed"] or 0) == 0:
-            converged = True
-            break
-    if not converged:
+    r = connected_components(
+        lg, config, max_iterations=max_rounds, algorithm=algorithm
+    )
+    if not r.converged:
+        lg.unpersist()
         # an exhausted loop would silently under-merge a >max_rounds-
         # diameter chain — fail loudly, same convention as scc/mst
         raise RuntimeError(
             f"near_dup_clusters: hash-min not converged in {max_rounds} "
-            "rounds; raise max_rounds (pair-graph diameter exceeds it)"
+            "rounds; raise max_rounds (pair-graph diameter exceeds it) "
+            "or pass algorithm='boruvka' (O(log V) rounds guaranteed)"
         )
     if metrics_out is not None:
-        metrics_out["rounds"] = rounds
-    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+        metrics_out["rounds"] = r.steps_run
+    mapping = r.state.select(
+        F.col("vid").alias("doc_id"), F.col("label").alias("_canon")
+    )
+    out = (
+        docs.select("doc_id")
+        .join(mapping, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_canon", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    lg.unpersist()
+    return out

@@ -208,3 +208,36 @@ def test_incremental_wcc_equals_full_recompute(spark, config):
     assert sorted((r["vid"], r["label"]) for r in same.collect()) == sorted(
         (r["vid"], r["label"]) for r in old_labels.select("vid", "label").collect()
     )
+
+
+def test_incremental_wcc_chain_delta(spark, config):
+    """r6 regression: a delta that daisy-chains many old components
+    end-to-end makes the LABEL graph a long scrambled path — the
+    hash-min CC it previously ran there stalls at O(diameter) rounds
+    and returned silently-unconverged (wrong) labels. Boruvka mode
+    must merge the whole chain exactly."""
+    import numpy as np
+
+    from planar_spark.kernels.components import incremental_wcc
+    from planar_spark.oracle.numpy_oracle import oracle_components
+
+    # 120 isolated 2-cliques (240 vertices): old labels = pair minima
+    n = 240
+    old_e = np.array([(2 * i, 2 * i + 1) for i in range(120)], dtype=np.int64)
+    g_old = graph_from_numpy(spark, old_e, n)
+    old_labels = connected_components(g_old, config).state
+    # delta: scrambled chain linking all 120 components into one
+    mult = 77  # coprime to 120
+    new_e = np.array(
+        [(2 * ((i * mult) % 120), 2 * (((i + 1) * mult) % 120) + 1)
+         for i in range(119)],
+        dtype=np.int64,
+    )
+    out = incremental_wcc(old_labels, spark.createDataFrame(
+        [(int(s), int(d)) for s, d in new_e], "src long, dst long"), config)
+    got = np.full(n, -1, dtype=np.int64)
+    for r in out.collect():
+        got[r["vid"]] = r["label"]
+    want = oracle_components(np.concatenate([old_e, new_e]), n)
+    assert (want == 0).all()  # one merged component, sanity
+    assert np.array_equal(got, want)

@@ -334,6 +334,10 @@ def test_near_dup_clusters_fail_loud_on_exhaustion(spark):
         near_dup_clusters(docs, max_rounds=1)
     ok = near_dup_clusters(docs)
     assert all(r["canonical_id"] == 0 for r in ok.collect())
+    # boruvka mode: O(log V)-guaranteed rounds, same exact canonicals
+    # even under the budget that exhausts hash-min's confirm round
+    bk = near_dup_clusters(docs, max_rounds=8, algorithm="boruvka")
+    assert all(r["canonical_id"] == 0 for r in bk.collect())
 
 
 def test_expand_documents_planted_structure(spark):

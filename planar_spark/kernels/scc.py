@@ -329,7 +329,11 @@ def bowtie_regions(
     fwd_reach = _bfs_reach(edges, core, max_depth)   # core ∪ OUT
     bwd_reach = _bfs_reach(rev, core, max_depth)     # core ∪ IN
 
-    wcc = connected_components(graph, config, two_hop_init=True).state
+    # tendril-vs-disconnected hangs on CONVERGED wcc labels, and this
+    # call site never checks .converged — Boruvka mode is converged by
+    # construction at O(log V) rounds (hash-min would silently
+    # misclassify tendrils as disconnected on a high-diameter graph)
+    wcc = connected_components(graph, config, algorithm="boruvka").state
     core_wcc = (
         wcc.join(core, "vid", "left_semi").agg(F.min("label")).collect()[0][0]
     )

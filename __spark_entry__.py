@@ -1793,6 +1793,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = connected_components(g, _cfg(), two_hop_init=True)
         return r.state.select("vid", "label")
 
+    def q_wcc_boruvka(spark, sf_dir):
+        # r6 mode gate: the O(log V)-guaranteed Boruvka components path
+        # (hook-to-min + full pointer doubling + contraction) must
+        # produce byte-identical labels to the hash-min kernel and the
+        # same 16-round unrolled SQL oracle.
+        g = _graph8(spark, sf_dir)
+        r = connected_components(g, _cfg(), algorithm="boruvka")
+        return r.state.select("vid", "label")
+
     def q_wcc_incremental(spark, sf_dir):
         """Split graph8's edges into an 'old' batch and a 'new' delta,
         compute exact labels for the old set, then MERGE the delta via
@@ -2283,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": q_pagerank,
         "wcc": q_wcc,
+        "wcc_boruvka": q_wcc_boruvka,
         "lpa": q_lpa,
         "sssp": q_sssp,
         "msf": q_msf,
@@ -2419,6 +2429,7 @@ SELECT d.doc_id, CAST(pos.p AS BIGINT) AS pos,
        / 256.0 AS val
 FROM documents d CROSS JOIN pos""",
         "wcc": _wcc_sql(),
+        "wcc_boruvka": _wcc_sql(),
         "wcc_incremental": _wcc_sql(),
         "scc": _scc_sql(),
         "bowtie": _bowtie_sql(),

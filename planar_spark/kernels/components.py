@@ -242,6 +242,21 @@ def connected_components(
         init_state, step, max_iterations, converged, resume=resume
     )
     edge_state["sym"].unpersist()
+    if not result.converged:
+        import warnings
+
+        # unconverged hash-min labels are under-merged (WRONG for any
+        # consumer that treats them as components) — make the silent
+        # path loud; callers that cannot tolerate it should use
+        # algorithm="boruvka" (converged by construction)
+        warnings.warn(
+            f"connected_components(hashmin): label fixpoint NOT reached "
+            f"in {max_iterations} supersteps — labels are under-merged. "
+            f"Raise max_iterations or use algorithm='boruvka' "
+            f"(O(log V) rounds guaranteed).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return result
 
 

@@ -7,3 +7,8 @@ from planar_spark.streaming.ingest_stream import (  # noqa: F401
     stream_pages,
     windowed_counts_latest,
 )
+from planar_spark.streaming.wcc_maintain import (  # noqa: F401
+    apply_edge_delta,
+    run_wcc_maintenance,
+    wcc_labels_latest,
+)

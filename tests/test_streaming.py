@@ -126,3 +126,59 @@ def test_crawl_rate_windowed_aggregation(spark, tmp_path):
     assert sum(r["n_pages"] for r in rows) == 40
     assert len(rows) == 2
     assert all(r["n_urls"] > 0 for r in rows)
+
+
+def test_streaming_wcc_maintenance_exactly_once_and_chain_delta(
+    spark, tmp_path, config
+):
+    """Continuous component maintenance: three edge deltas streamed via
+    foreachBatch + incremental_wcc over LoopCheckpointer state. Delta 3
+    daisy-chains every surviving component end-to-end (the shape that
+    stalls hash-min — must be exact through the Boruvka path). Final
+    labels must equal the batch kernel over the full edge set, and
+    re-running with no new files must not change state."""
+    import numpy as np
+
+    from planar_spark.oracle.numpy_oracle import oracle_components
+    from planar_spark.streaming import run_wcc_maintenance, wcc_labels_latest
+
+    edges_dir = str(tmp_path / "edge_stream")
+    state_dir = str(tmp_path / "wcc_state")
+    ckpt = str(tmp_path / "wcc_ckpt")
+    os.makedirs(edges_dir, exist_ok=True)
+
+    # delta 1: 30 disjoint 2-cliques; delta 2: pair them up (15 comps);
+    # delta 3: scrambled chain linking all 15 into one
+    d1 = [(2 * i, 2 * i + 1) for i in range(30)]
+    d2 = [(4 * i, 4 * i + 2) for i in range(15)]
+    mult = 7  # coprime to 15
+    d3 = [(4 * ((i * mult) % 15), 4 * (((i + 1) * mult) % 15) + 1)
+          for i in range(14)]
+
+    def push(name, rows):
+        import pandas as pd
+
+        pd.DataFrame(rows, columns=["src", "dst"]).astype("int64").to_parquet(
+            os.path.join(edges_dir, f"{name}.parquet")
+        )
+
+    for name, rows in [("d1", d1), ("d2", d2), ("d3", d3)]:
+        push(name, rows)
+        run_wcc_maintenance(spark, edges_dir, state_dir, ckpt, config)
+
+    got = {
+        r["vid"]: r["label"]
+        for r in wcc_labels_latest(spark, state_dir, config).collect()
+    }
+    all_edges = np.array(d1 + d2 + d3, dtype=np.int64)
+    want = oracle_components(all_edges, 60)
+    assert got == {v: int(want[v]) for v in range(60)}
+    assert set(got.values()) == {0}  # fully chained, sanity
+
+    # idempotent re-run: no new files -> state unchanged
+    run_wcc_maintenance(spark, edges_dir, state_dir, ckpt, config)
+    again = {
+        r["vid"]: r["label"]
+        for r in wcc_labels_latest(spark, state_dir, config).collect()
+    }
+    assert again == got

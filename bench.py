@@ -682,6 +682,22 @@ def main() -> None:
         hits = ann.join(exact, ["q", "neighbor"], "left_semi").count()
         corpus["ann_recall_at_5"] = round(hits / max(1, n_exact), 4)
         ann.unpersist()
+        # IVF variant (r6): the other named scale path — spherical
+        # k-means coarse quantizer (sample-trained) + n_probe nearest
+        # inverted lists per query; same recall@5 yardstick vs the same
+        # exact baseline as the LSH row above.
+        from planar_spark.kernels.embeddings import embedding_ivf_topk
+
+        t0 = time.time()
+        ivf = embedding_ivf_topk(
+            big_emb, query_mod=1000, k=5, n_cells=64, n_probe=8,
+            kmeans_iters=6, sample_mod=10,
+        ).persist()
+        corpus["ivf_results"] = ivf.count()
+        corpus["ivf_topk_sec"] = round(time.time() - t0, 3)
+        ivf_hits = ivf.join(exact, ["q", "neighbor"], "left_semi").count()
+        corpus["ivf_recall_at_5"] = round(ivf_hits / max(1, n_exact), 4)
+        ivf.unpersist()
         exact.unpersist()
         big_emb.unpersist()
         corpus["probe_sec_end"] = mem_probe()

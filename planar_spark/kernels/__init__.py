@@ -14,6 +14,7 @@ from planar_spark.kernels.hits import hits
 from planar_spark.kernels.neighborhood import node2vec_walk, random_walk
 from planar_spark.kernels.kcore import core_decomposition, k_core
 from planar_spark.kernels.betweenness import betweenness, top_degree_sources
+from planar_spark.kernels.embeddings import embedding_ivf_topk, kmeans_embeddings
 from planar_spark.kernels.densest import densest_subgraph
 from planar_spark.kernels.truss import k_truss, truss_decomposition
 from planar_spark.kernels.graphstats import (

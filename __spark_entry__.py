@@ -665,8 +665,12 @@ def _betweenness_sql() -> str:
     multi-source BFS levels carrying sigma path counts, then backward
     level-by-level dependency accumulation, then the Brandes-Pich
     |V|/k estimator scale. Sigma sums are exact integers in double;
-    the delta ratio sums are rounded to 4 decimals on BOTH sides so
-    association-order noise (~1e-12) never flips a value."""
+    the delta ratio sums are rounded to 4 decimals on BOTH sides.
+    Residual risk (same accepted class as the pagerank/ppr ROUND
+    gates): a true value within ~1e-12 of a .00005 boundary could
+    round apart across engines — P ~ |V| * 2e-9 per run; unlike
+    harmonic/closeness there is no exact-integer sufficient statistic
+    for Brandes deltas (non-dyadic sigma ratios)."""
     d_max = BC_DEPTH
     parts = [
         f"WITH {_EDGES},",
@@ -738,10 +742,12 @@ def _centrality_profile_sql() -> str:
     return f"""SELECT 'harmonic' AS kind, vid, harmonic AS value
 FROM ({_harmonic_sql()})
 UNION ALL
-SELECT 'closeness', vid, closeness FROM ({_closeness_sql()})
-UNION ALL
-SELECT 'closeness_reached', vid, CAST(reached AS DOUBLE)
-FROM ({_closeness_sql()})
+SELECT t.kind, c.vid, t.value FROM ({_closeness_sql()}) c
+CROSS JOIN LATERAL (
+    SELECT 'closeness' AS kind, c.closeness AS value
+    UNION ALL
+    SELECT 'closeness_reached', CAST(c.reached AS DOUBLE)
+) t
 UNION ALL
 SELECT 'betweenness', vid, bc FROM ({_betweenness_sql()})"""
 

@@ -88,20 +88,33 @@ def connected_components(
         from planar_spark.kernels.mst import boruvka_msf
 
         lab_out: dict = {}
+        # 64 rounds >> log2 of any representable vertex count; hitting
+        # it means the fixpoint proof (empty pick) was never reached,
+        # and returning those labels as components would repeat the
+        # silent-under-merge bug this mode exists to prevent
         boruvka_msf(
             graph,
             config,
+            max_rounds=64,
             metrics_out={},
             labels_out=lab_out,
             resume=resume,
         )
+        if not lab_out["fixpoint"]:
+            raise RuntimeError(
+                "connected_components(boruvka): round budget exhausted "
+                "before the empty-pick fixpoint — labels would be "
+                "under-merged (should be impossible at <2^64 vertices; "
+                "indicates a kernel bug or a corrupted resume state)"
+            )
         return SuperstepResult(
             state=lab_out["labels"],
             steps_run=int(lab_out["rounds"]),
             converged=True,
             metrics=[],
         )
-    assert algorithm == "hashmin", f"unknown algorithm: {algorithm}"
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     # NOTE: WCC stays on localCheckpoint state (the engine default), NOT
     # cache-mode: each round references the label state 4x (gather +
     # min-merge + the pointer-jump self-join), so a cached lineage tree

@@ -106,14 +106,12 @@ def kmeans_embeddings(
         sums = (
             assigned.select("cid", F.posexplode("nv").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("x").alias("s"))
             .collect()
         )
         acc: dict[int, list[float]] = {}
-        cnt: dict[int, int] = {}
         for r in sums:
             acc.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["s"]
-            cnt[r["cid"]] = r["n"]
         new_cents = []
         for cid, old in cents:
             if cid in acc:
@@ -123,8 +121,16 @@ def kmeans_embeddings(
             else:
                 new_cents.append((cid, old))  # empty cell: keep centroid
         cents = new_cents
-    assignments = _assign(vecs, _centroid_df(spark, cents)).select(
-        "vec_id", "cid"
+    from planar_spark.graph.superstep import releaf
+
+    # materialize BEFORE unpersisting vecs: the assignment is returned
+    # lazy and referenced multiple times downstream (IVF candidate join
+    # + rerank) — without this the broadcast assign pass would recompute
+    # per reference over an uncached input
+    assignments = releaf(
+        _assign(vecs, _centroid_df(spark, cents))
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)
     )
     if metrics_out is not None:
         sizes = assignments.groupBy("cid").count()
@@ -202,11 +208,17 @@ def embedding_ivf_topk(
         )
     )
     # window partitions are bounded by the probed inverted lists, not N
+    from planar_spark.graph.superstep import releaf
+
     w = W.partitionBy("q").orderBy(F.col("sim").desc(), F.col("neighbor").asc())
-    out = (
+    # top-k results are small: materialize eagerly so unpersisting the
+    # vector cache cannot force a 3x recompute of the assign pass when
+    # the caller finally acts on the lazy plan
+    out = releaf(
         sims.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("q", "neighbor", "sim")
+        .localCheckpoint(eager=True)
     )
     e.unpersist()
     return out

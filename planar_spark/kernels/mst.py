@@ -126,6 +126,7 @@ def boruvka_msf(
     rounds = 0
     total_jumps = 0
     picked_per_round: list[int] = []
+    n_picked = -1  # -1 = loop never ran (e.g. resume at the budget)
 
     ckpt = LoopCheckpointer(spark, config, "msf", run_id=run_id)
     if resume:
@@ -249,6 +250,9 @@ def boruvka_msf(
     if labels_out is not None:
         labels_out["labels"] = labels
         labels_out["rounds"] = rounds
+        # n_picked == 0 is the fixpoint proof; exiting on the round
+        # budget instead means the labels may still be under-merged
+        labels_out["fixpoint"] = n_picked == 0
     if not forest_parts:
         if weights is not None:
             # mirror the caller's weight type: an edgeless graph must

@@ -37,7 +37,7 @@ KERNELS = (
     "msf", "coloring", "khop", "randomwalk", "kcore",
     "scc", "hits", "ppr", "lcc", "bowtie", "stats", "diameter", "ktruss",
     "wsssp", "wmsf", "centralities", "node2vec", "triads",
-    "coredecomp", "trussdecomp", "densest", "betweenness",
+    "coredecomp", "trussdecomp", "densest", "betweenness", "louvain",
 )
 
 
@@ -119,6 +119,10 @@ def main() -> None:
         r = label_propagation(g, cfg, num_iterations=args.iterations,
                               engine=engine("lpa"), resume=args.resume)
         out, meta = r.state, r
+    elif args.kernel == "louvain":
+        from planar_spark.kernels.louvain import louvain
+
+        out, meta = louvain(g, cfg), None
     elif args.kernel == "triangles":
         out, meta = triangle_count_per_vertex(g, cfg), None
     # the self-managed loop kernels take --run-id/--resume too, via

@@ -4,6 +4,7 @@ from planar_spark.kernels.ppr import personalized_pagerank
 from planar_spark.kernels.scc import bowtie_regions, strongly_connected_components
 from planar_spark.kernels.triangles import local_clustering
 from planar_spark.kernels.wpagerank import weighted_pagerank
+from planar_spark.kernels.louvain import louvain
 from planar_spark.kernels.lpa import label_propagation
 from planar_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
 from planar_spark.kernels.sssp import bfs_sssp, sssp_with_unreached, weighted_sssp

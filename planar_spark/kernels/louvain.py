@@ -1,0 +1,306 @@
+"""Louvain community detection — deterministic synchronous variant.
+
+Not a reference kernel (the reference's community surface stops at
+LPA); added as the standard modularity-based community detector a
+link-graph engine is expected to ship. Classic Louvain (Blondel 2008)
+is sequential — vertices move one at a time. The distributed variant
+here is the standard synchronous adaptation (as in Spark/GraphX
+community implementations), made fully deterministic:
+
+- MOVE rounds: every vertex computes the modularity gain of moving to
+  each neighboring community (one edges⋈comm join + groupBy(v, c)),
+  picks argmax gain with lowest-community-id tie-break, and moves iff
+  gain > 0 — but only vertices whose move-parity hash
+  H(v, round) % 2 == 0 move this round. Synchronous Louvain without
+  gating oscillates (two adjacent vertices swap communities forever);
+  parity gating is the deterministic analogue of Louvain's sequential
+  visit order. A level's move phase ends after TWO consecutive
+  zero-move rounds (both parity classes quiescent = fixpoint).
+- CONTRACT: communities collapse to vertices, parallel edge weights
+  sum, intra-community weight becomes a self-loop; the next level runs
+  on the contracted graph. Levels stop when a level moves nothing.
+
+Modularity bookkeeping (undirected, weighted):
+  deg(v) = Σ_{u≠v} w(v,u) + 2·w_self(v);  m = Σ_e w(e) (self-loops once)
+  tot_c  = Σ_{v∈c} deg(v);   k_{v,c} = Σ_{u∈c,u≠v} w(v,u)
+  ΔQ(v: a→c) = (k_{v,c} − k_{v,a′})/m − deg(v)·(tot_c − tot_{a′})/(2m²)
+  with a′ = a∖{v}, tot_{a′} = tot_a − deg(v).
+
+Scale shape: per move round one edges⋈comm shuffle + a (v, c) partial
+agg + V-sized joins — the same O(E) gather budget as a pagerank
+superstep; the only driver-side scalars are m (once per level) and the
+observed move/gain counters. Contraction shrinks E geometrically
+across levels. State rides localCheckpoint leaves (releaf) like every
+other loop kernel.
+
+Tested round-exactly against the pure-python replica in
+tests/test_louvain.py (same gating hash, same tie-breaks), plus
+modularity-monotonicity and planted-structure fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from planar_spark.config import EngineConfig
+from planar_spark.graph.superstep import releaf
+from planar_spark.graph.tables import GraphTables
+
+_H_A = 2654435761  # Knuth multiplicative hash, same family as coloring
+_H_B = 40503
+_H_MOD = 1 << 32
+
+
+def _move_gate(vid_col, rnd: int):
+    """Deterministic move-parity: H(v, round) % 2 == 0."""
+    return ((vid_col * _H_A + F.lit(rnd) * _H_B) % _H_MOD) % 2 == 0
+
+
+def louvain(
+    graph: GraphTables,
+    config: EngineConfig | None = None,
+    weights: DataFrame | None = None,
+    max_levels: int = 4,
+    max_move_rounds: int = 64,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """(vid, community) — community = the level-0 vid of the final
+    community representative (deterministic; NOT guaranteed to be the
+    min vid of the member set).
+
+    ``weights``: optional (src, dst, w); defaults to w = 1 per distinct
+    undirected edge. ``metrics_out`` receives ``levels``,
+    ``move_rounds`` (list per level), ``modularity`` (final Q) and
+    ``communities`` (count).
+    """
+    config = config or EngineConfig()
+    spark = graph.spark
+    parts = config.partitions_for(spark)
+
+    und = graph.undirected_edges()  # (a, b) distinct, a < b, no selfs
+    if weights is not None:
+        wn = (
+            weights.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col("w").cast("double").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+        cur = und.join(wn, ["a", "b"])
+    else:
+        cur = und.withColumn("w", F.lit(1.0))
+    # cur: one row per undirected edge (a <= b after contraction;
+    # a == b rows are self-loops carrying intra-community weight)
+    cur = releaf(cur.repartition(parts, "a").localCheckpoint(eager=True))
+
+    # assign: original vid -> current-level vertex (community rep)
+    assign = releaf(
+        graph.vertices.select("vid", F.col("vid").alias("comm"))
+        .localCheckpoint(eager=True)
+    )
+
+    move_rounds_per_level: list[int] = []
+    q_final = 0.0
+    n_comm = 0
+    for _level in range(max_levels):
+        sym = cur.where(F.col("a") != F.col("b")).select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        ).unionAll(
+            cur.where(F.col("a") != F.col("b")).select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+            )
+        )
+        selfs = cur.where(F.col("a") == F.col("b")).select(
+            F.col("a").alias("vid"), F.col("w").alias("w_self")
+        )
+        verts = (
+            cur.select(F.col("a").alias("vid"))
+            .unionAll(cur.select(F.col("b").alias("vid")))
+            .distinct()
+        )
+        deg = (
+            verts.join(
+                sym.groupBy(F.col("src").alias("vid")).agg(
+                    F.sum("w").alias("_wn")
+                ),
+                "vid",
+                "left",
+            )
+            .join(selfs, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.coalesce("_wn", F.lit(0.0))
+                    + 2.0 * F.coalesce("w_self", F.lit(0.0))
+                ).alias("deg"),
+            )
+        )
+        deg = releaf(
+            deg.repartition(parts, "vid").localCheckpoint(eager=True)
+        )
+        m = cur.agg(F.sum("w")).collect()[0][0] or 0.0
+        if m <= 0:
+            break
+        sym = releaf(
+            sym.repartition(parts, "src").localCheckpoint(eager=True)
+        )
+
+        comm = deg.select("vid", F.col("vid").alias("c"))
+        rounds = 0
+        zero_streak = 0
+        while rounds < max_move_rounds and zero_streak < 2:
+            rounds += 1
+            tot = comm.join(deg, "vid").groupBy("c").agg(
+                F.sum("deg").alias("tot")
+            )
+            nbr_c = (
+                sym.join(
+                    comm.select(F.col("vid").alias("dst"), "c"), "dst"
+                )
+                .groupBy(F.col("src").alias("vid"), "c")
+                .agg(F.sum("w").alias("k_vc"))
+            )
+            own = comm.select("vid", F.col("c").alias("c_own"))
+            # candidate rows: every neighbor community (k_vc to own
+            # community rides along via a left join back)
+            cand = (
+                nbr_c.join(own, "vid")
+                .join(tot, "c")
+                .join(deg, "vid")
+                .join(
+                    tot.select(
+                        F.col("c").alias("c_own"),
+                        F.col("tot").alias("tot_own"),
+                    ),
+                    "c_own",
+                )
+                .join(
+                    nbr_c.select(
+                        "vid",
+                        F.col("c").alias("c_own"),
+                        F.col("k_vc").alias("k_own"),
+                    ),
+                    ["vid", "c_own"],
+                    "left",
+                )
+            )
+            gain = cand.select(
+                "vid",
+                "c",
+                "c_own",
+                (
+                    (
+                        F.col("k_vc")
+                        - F.coalesce("k_own", F.lit(0.0))
+                    )
+                    / F.lit(m)
+                    - F.col("deg")
+                    * (
+                        F.col("tot")
+                        - (F.col("tot_own") - F.col("deg"))
+                    )
+                    / F.lit(2.0 * m * m)
+                ).alias("dq"),
+            ).where(F.col("c") != F.col("c_own"))
+            best = (
+                gain.groupBy("vid")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("dq"), (-F.col("c")).alias("nc")
+                        )
+                    ).alias("b"),
+                    F.first("c_own").alias("c_own"),
+                )
+                .where(F.col("b.dq") > 1e-12)
+                .select(
+                    "vid", (-F.col("b.nc")).alias("c_new"), "c_own"
+                )
+            )
+            moves = best.where(_move_gate(F.col("vid"), rounds))
+            obs = Observation()
+            comm = releaf(
+                comm.join(
+                    moves.select("vid", "c_new"), "vid", "left"
+                )
+                .select(
+                    "vid",
+                    F.coalesce("c_new", F.col("c")).alias("c"),
+                    F.col("c_new").isNotNull().cast("long").alias("_mv"),
+                )
+                .observe(obs, F.sum("_mv").alias("moved"))
+                .drop("_mv")
+                .localCheckpoint(eager=True)
+            )
+            moved = int(obs.get["moved"] or 0)
+            zero_streak = zero_streak + 1 if moved == 0 else 0
+        move_rounds_per_level.append(rounds)
+
+        # compose the original-vid assignment through this level (LEFT:
+        # isolated vertices never enter a level graph and keep their
+        # own-vid community)
+        assign = releaf(
+            assign.join(
+                comm.select(
+                    F.col("vid").alias("comm"), F.col("c").alias("_c")
+                ),
+                "comm",
+                "left",
+            )
+            .select(
+                "vid", F.coalesce("_c", F.col("comm")).alias("comm")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # modularity of this level's partition (on the level graph):
+        # Q = Σ_c [ in_c/m − (tot_c/(2m))² ], in_c = intra weight
+        ca = comm.select(F.col("vid").alias("a"), F.col("c").alias("ca"))
+        cb = comm.select(F.col("vid").alias("b"), F.col("c").alias("cb"))
+        intra = (
+            cur.join(ca, "a")
+            .join(cb, "b")
+            .where(F.col("ca") == F.col("cb"))
+            .agg(F.coalesce(F.sum("w"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        tot_rows = (
+            comm.join(deg, "vid").groupBy("c").agg(F.sum("deg").alias("t"))
+        )
+        sq = tot_rows.agg(
+            F.coalesce(F.sum(F.col("t") * F.col("t")), F.lit(0.0))
+        ).collect()[0][0]
+        q_final = intra / m - sq / (4.0 * m * m)
+        n_comm = tot_rows.count()
+
+        # no movement at all this level -> done (rounds==2 means both
+        # parity classes were immediately quiescent)
+        total_moved = rounds > 2
+        if not total_moved:
+            break
+
+        # contract: communities become vertices, weights aggregate,
+        # intra-community weight becomes the self-loop
+        nxt = releaf(
+            cur.join(ca, "a")
+            .join(cb, "b")
+            .select(
+                F.least("ca", "cb").alias("a"),
+                F.greatest("ca", "cb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .repartition(parts, "a")
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt
+
+    if metrics_out is not None:
+        metrics_out["levels"] = len(move_rounds_per_level)
+        metrics_out["move_rounds"] = move_rounds_per_level
+        metrics_out["modularity"] = float(q_final)
+        metrics_out["communities"] = int(n_comm)
+    return assign.select("vid", F.col("comm").alias("community"))

@@ -326,6 +326,23 @@ def main() -> None:
         ).count(),
     )
     extras["betweenness_depth"] = bw_m.get("depth")
+    # Louvain on the derived graph: wall-clock row only — the graph is
+    # quasi-random (avg degree ~282) so modularity is structurally ~0
+    # and the move phase would micro-churn to the cap; 16 move rounds
+    # bounds the row (standard practice: Louvain inner phases are
+    # capped in every production implementation).
+    from planar_spark.kernels.louvain import louvain
+
+    lv_m: dict = {}
+    timed_extra(
+        "louvain",
+        lambda: louvain(
+            g, cfg, max_move_rounds=16, metrics_out=lv_m
+        ).count(),
+    )
+    extras["louvain_levels"] = lv_m.get("levels")
+    extras["louvain_modularity"] = round(lv_m.get("modularity") or 0.0, 4)
+    extras["louvain_communities"] = lv_m.get("communities")
     src_min = int(g.vertices.agg(F.min("vid")).collect()[0][0])
     wdf = g.edges.select(
         "src", "dst", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).alias("w")

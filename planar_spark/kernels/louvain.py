@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.loopckpt import LoopCheckpointer
 from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
@@ -63,6 +64,9 @@ def louvain(
     max_levels: int = 4,
     max_move_rounds: int = 64,
     metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+    max_total_rounds: int | None = None,
 ) -> DataFrame:
     """(vid, community) — community = the level-0 vid of the final
     community representative (deterministic; NOT guaranteed to be the
@@ -72,39 +76,77 @@ def louvain(
     undirected edge. ``metrics_out`` receives ``levels``,
     ``move_rounds`` (list per level), ``modularity`` (final Q) and
     ``communities`` (count).
+
+    Durable resume: with ``config.checkpoint_dir`` set, the full loop
+    state (level edge table + composed assignment + in-progress
+    community table) is saved through LoopCheckpointer every
+    ``config.checkpoint_every`` move rounds (counted ACROSS levels so
+    the round number is monotone) and at each level boundary;
+    ``resume=True`` with the same ``run_id`` re-enters mid-move-phase
+    — sym/deg/m are re-derived deterministically from the restored
+    level edges. ``max_total_rounds`` caps the combined move-round
+    count (crash simulation for the resume tests); a capped run
+    returns the partial assignment — resume to finish.
     """
     config = config or EngineConfig()
     spark = graph.spark
     parts = config.partitions_for(spark)
+    ckpt = LoopCheckpointer(spark, config, "louvain", run_id=run_id)
 
-    und = graph.undirected_edges()  # (a, b) distinct, a < b, no selfs
-    if weights is not None:
-        wn = (
-            weights.select(
-                F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"),
-                F.col("w").cast("double").alias("w"),
-            )
-            .groupBy("a", "b")
-            .agg(F.sum("w").alias("w"))
-        )
-        cur = und.join(wn, ["a", "b"])
-    else:
-        cur = und.withColumn("w", F.lit(1.0))
-    # cur: one row per undirected edge (a <= b after contraction;
-    # a == b rows are self-loops carrying intra-community weight)
-    cur = releaf(cur.repartition(parts, "a").localCheckpoint(eager=True))
-
-    # assign: original vid -> current-level vertex (community rep)
-    assign = releaf(
-        graph.vertices.select("vid", F.col("vid").alias("comm"))
-        .localCheckpoint(eager=True)
-    )
-
+    cur = None
+    comm = None
+    assign = None
+    level0 = 0
+    rounds = 0          # move rounds inside the current level
+    zero_streak = 0
+    grounds = 0         # combined move rounds across levels (monotone)
     move_rounds_per_level: list[int] = []
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            _rnd, tables, mm = latest
+            cur = releaf(
+                tables["cur"].repartition(parts, "a")
+                .localCheckpoint(eager=True)
+            )
+            assign = tables["assign"]
+            comm = tables.get("comm")
+            level0 = int(mm["level"])
+            rounds = int(mm["rounds"])
+            zero_streak = int(mm["zero_streak"])
+            grounds = int(mm["global_round"])
+            move_rounds_per_level = list(mm.get("move_rounds_per_level", []))
+    if cur is None:
+        und = graph.undirected_edges()  # (a, b) distinct, a<b, no selfs
+        if weights is not None:
+            wn = (
+                weights.select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                    F.col("w").cast("double").alias("w"),
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("w").alias("w"))
+            )
+            cur = und.join(wn, ["a", "b"])
+        else:
+            cur = und.withColumn("w", F.lit(1.0))
+        # cur: one row per undirected edge (a <= b after contraction;
+        # a == b rows are self-loops carrying intra-community weight)
+        cur = releaf(
+            cur.repartition(parts, "a").localCheckpoint(eager=True)
+        )
+        # assign: original vid -> current-level vertex (community rep)
+        assign = releaf(
+            graph.vertices.select("vid", F.col("vid").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+
+    budget = max_total_rounds if max_total_rounds is not None else (1 << 30)
     q_final = 0.0
     n_comm = 0
-    for _level in range(max_levels):
+    capped = False
+    for _level in range(level0, max_levels):
         sym = cur.where(F.col("a") != F.col("b")).select(
             F.col("a").alias("src"), F.col("b").alias("dst"), "w"
         ).unionAll(
@@ -147,11 +189,17 @@ def louvain(
             sym.repartition(parts, "src").localCheckpoint(eager=True)
         )
 
-        comm = deg.select("vid", F.col("vid").alias("c"))
-        rounds = 0
-        zero_streak = 0
+        if comm is None:  # fresh level (not a mid-phase resume)
+            comm = deg.select("vid", F.col("vid").alias("c"))
+            rounds = 0
+            zero_streak = 0
         while rounds < max_move_rounds and zero_streak < 2:
+            if budget <= 0:
+                capped = True
+                break
+            budget -= 1
             rounds += 1
+            grounds += 1
             tot = comm.join(deg, "vid").groupBy("c").agg(
                 F.sum("deg").alias("tot")
             )
@@ -236,6 +284,24 @@ def louvain(
             )
             moved = int(obs.get["moved"] or 0)
             zero_streak = zero_streak + 1 if moved == 0 else 0
+            if ckpt.due(grounds):
+                saved = ckpt.save(
+                    grounds,
+                    {"cur": cur, "assign": assign, "comm": comm},
+                    {
+                        "level": _level,
+                        "rounds": rounds,
+                        "zero_streak": zero_streak,
+                        "global_round": grounds,
+                        "move_rounds_per_level": move_rounds_per_level,
+                    },
+                )
+                if saved is not None:
+                    cur, assign, comm = (
+                        saved["cur"], saved["assign"], saved["comm"]
+                    )
+        if capped:
+            break
         move_rounds_per_level.append(rounds)
 
         # compose the original-vid assignment through this level (LEFT:
@@ -297,10 +363,33 @@ def louvain(
             .localCheckpoint(eager=True)
         )
         cur = nxt
+        comm = None  # next level re-derives its own community table
+        rounds = 0
+        zero_streak = 0
+        # level-boundary checkpoint: composed assign + contracted
+        # edges; comm intentionally absent (resume re-derives it at
+        # level entry). grounds bumps so the boundary save never
+        # overwrites the last in-phase round's sealed state.
+        grounds += 1
+        if ckpt.due(grounds):
+            saved = ckpt.save(
+                grounds,
+                {"cur": cur, "assign": assign},
+                {
+                    "level": _level + 1,
+                    "rounds": 0,
+                    "zero_streak": 0,
+                    "global_round": grounds,
+                    "move_rounds_per_level": move_rounds_per_level,
+                },
+            )
+            if saved is not None:
+                cur, assign = saved["cur"], saved["assign"]
 
     if metrics_out is not None:
         metrics_out["levels"] = len(move_rounds_per_level)
         metrics_out["move_rounds"] = move_rounds_per_level
         metrics_out["modularity"] = float(q_final)
         metrics_out["communities"] = int(n_comm)
+        metrics_out["capped"] = capped
     return assign.select("vid", F.col("comm").alias("community"))

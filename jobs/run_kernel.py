@@ -67,10 +67,12 @@ def main() -> None:
         "--k", type=int, default=8, help="k for the k-core / k-truss kernels"
     )
     ap.add_argument(
-        "--wcc-algorithm", choices=["hashmin", "boruvka"], default="hashmin",
+        "--wcc-algorithm", choices=["hashmin", "boruvka", "auto"],
+        default="hashmin",
         help="wcc rounds: hashmin = cheap O(diameter) supersteps "
         "(low-diameter graphs), boruvka = O(log V)-guaranteed rounds "
-        "(high-diameter graphs)",
+        "(high-diameter graphs), auto = hashmin budget then boruvka "
+        "fallback on non-convergence",
     )
     args = ap.parse_args()
     if not (args.pages or args.graph):

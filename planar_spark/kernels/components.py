@@ -78,12 +78,38 @@ def connected_components(
       fixpoint proof); ``resume``/checkpointing ride the msf kernel's
       LoopCheckpointer (kernel name ``msf``).
 
-    A production driver at unknown diameter: run hashmin with a round
-    budget; if ``converged`` comes back False, fall back to boruvka
-    rather than raising the budget (hashmin's remaining rounds scale
-    with the uncovered diameter, boruvka's with log V).
+    - ``"auto"``: the production default for unknown diameter — run
+      hashmin under the ``max_iterations`` budget; if the label-sum
+      fixpoint is not reached, fall back to a boruvka run rather than
+      raising the budget (hashmin's remaining rounds scale with the
+      uncovered diameter, boruvka's with log V). Exactness is
+      unaffected (both modes produce min-vid labels; the fallback
+      recomputes from scratch — hash-min labels are not a valid
+      boruvka warm start because boruvka's invariant is
+      cluster-contracted edges, not partial min labels).
     """
     config = config or EngineConfig()
+    if algorithm == "auto":
+        import warnings
+
+        with warnings.catch_warnings():
+            # the hashmin non-convergence warning tells callers to do
+            # exactly what auto does next — no point emitting it here
+            warnings.simplefilter("ignore", RuntimeWarning)
+            result = connected_components(
+                graph,
+                config,
+                max_iterations=max_iterations,
+                pointer_jumping=pointer_jumping,
+                contract=contract,
+                two_hop_init=two_hop_init,
+                engine=engine,
+                resume=resume,
+                algorithm="hashmin",
+            )
+        if result.converged:
+            return result
+        return connected_components(graph, config, algorithm="boruvka")
     if algorithm == "boruvka":
         from planar_spark.kernels.mst import boruvka_msf
 

@@ -115,6 +115,23 @@ def test_hashmin_is_diameter_bound_and_boruvka_mode_is_not(spark, config):
     assert (got == want).all()
 
 
+def test_auto_mode_falls_back_to_boruvka(spark, config):
+    """auto = hashmin under budget, exact boruvka fallback on
+    non-convergence — the production default for unknown diameter."""
+    n, mult = 331, 119
+    edges = _permuted_cycle(n, mult)
+    r = connected_components(
+        g := graph_from_numpy(spark, edges, n), config,
+        max_iterations=10, algorithm="auto",
+    )
+    assert r.converged
+    assert (_labels_array(r, n) == oracle_components(edges, n)).all()
+    # low-diameter graph: auto must NOT pay the boruvka fallback
+    g2 = graph_from_numpy(spark, edges_ring(64), 64)
+    r2 = connected_components(g2, config, algorithm="auto")
+    assert r2.converged and r2.metrics  # hashmin path (engine metrics)
+
+
 def test_boruvka_mode_matches_oracle_on_standard_cases(spark, config):
     for name, edges, n in CASES:
         g = graph_from_numpy(spark, edges, n)

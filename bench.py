@@ -337,7 +337,7 @@ def main() -> None:
     timed_extra(
         "louvain",
         lambda: louvain(
-            g, cfg, max_move_rounds=16, metrics_out=lv_m
+            g, cfg, max_move_rounds=16, max_levels=2, metrics_out=lv_m
         ).count(),
     )
     extras["louvain_levels"] = lv_m.get("levels")

@@ -62,6 +62,13 @@ class EngineConfig:
     # edge side). Without it AQE tends to pick a broadcast join of the
     # state, whose serial per-superstep broadcast build becomes the
     # Amdahl bottleneck at high parallelism. None/"" = let AQE choose.
+    # "shuffle_hash" builds a hash map on the (small) state side and
+    # streams the edges through the probe — skips SMJ's per-superstep
+    # state sort. Measured r6 (big-graph pagerank, warm JVM, 3
+    # interleaved pairs): tie within host noise (7.55s vs 7.08s
+    # medians) — the V-per-partition state sort is not a bottleneck at
+    # this scale, so "merge" stays the default for its plan-test-
+    # asserted zero-edge-exchange shape.
     gather_join: str | None = "merge"
 
     # --- LPA ---

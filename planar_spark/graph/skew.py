@@ -54,6 +54,14 @@ def salted_gather_join(
     """
     k = max(1, config.salt_buckets)
     if hubs is None:
+        # "merge": hint rides the edge side (SMJ reuses its cached sort
+        # + partitioning). "shuffle_hash": hint rides the STATE side —
+        # SHJ builds its hash map on the hinted side, and state is the
+        # small one; edges stream through the probe with neither an
+        # exchange nor the per-superstep state SORT that SMJ pays.
+        if config.gather_join == "shuffle_hash":
+            s = state.hint("shuffle_hash")
+            return edges.join(s, edges["src"] == s["vid"]).drop("vid")
         e = edges.hint(config.gather_join) if config.gather_join else edges
         return e.join(state, e["src"] == state["vid"]).drop("vid")
 

@@ -511,6 +511,17 @@ def main() -> None:
             lambda: boruvka_msf(bg, cfg, metrics_out=msf_m).count(),
         )
         big["msf_rounds"] = msf_m.get("rounds")
+        # k-source Brandes at the size where rounds (2x BFS depth) and
+        # O(k*V) state are the costs that matter; k=8 keeps the row
+        # comparable to the centrality gate's source budget
+        bwb_m: dict = {}
+        timed_big(
+            "betweenness_8src_sec",
+            lambda: betweenness(
+                bg, num_sources=8, config=cfg, metrics_out=bwb_m
+            ).count(),
+        )
+        big["betweenness_depth"] = bwb_m.get("depth")
         scc_m: dict = {}
         timed_big(
             "scc_sec", lambda: scc_fn(bg, cfg, metrics_out=scc_m).count()

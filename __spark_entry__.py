@@ -732,6 +732,77 @@ def _betweenness_sql() -> str:
     return "\n".join(parts)
 
 
+LOUVAIN_ROUNDS = 8  # fixed unroll == the gate's max_move_rounds
+
+
+def _louvain_sql() -> str:
+    """Unrolled single-level Louvain (kernels/louvain.py with
+    max_levels=1, max_move_rounds=LOUVAIN_ROUNDS) — per round: per-
+    community degree totals, per-(vertex, neighbor-community) weight
+    sums, the modularity-gain argmax with lowest-community tie-break,
+    and the alternating move-parity gate. Cross-engine float parity is
+    EXACT, not rounded: with w = 1 every dq input (k_vc, k_own, deg,
+    tot, m) is an exact integer in double, the two divisions are IEEE
+    correctly-rounded on identical operands, and both engines evaluate
+    the same expression tree — so the argmax comparisons can never
+    disagree. Rounds past the kernel's two-zero-rounds fixpoint are
+    no-ops (the parity gate alternates classes, so two quiet rounds
+    imply every later round is quiet)."""
+    parts = [
+        f"WITH {_EDGES},",
+        _UND + ",",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM u"
+        " UNION ALL SELECT b, a FROM u),",
+        "ldeg AS MATERIALIZED (SELECT src AS vid,"
+        " CAST(COUNT(*) AS DOUBLE) AS deg FROM sym GROUP BY src),",
+        "mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM u),",
+        "lc0 AS MATERIALIZED (SELECT vid, vid AS c FROM ldeg)",
+    ]
+    for r in range(1, LOUVAIN_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f", tt{r} AS MATERIALIZED (SELECT lc.c, SUM(d.deg) AS tot"
+            f" FROM lc{p} lc JOIN ldeg d ON lc.vid = d.vid GROUP BY lc.c)"
+        )
+        parts.append(
+            f", nb{r} AS MATERIALIZED (SELECT s.src AS vid, lc.c,"
+            f" CAST(COUNT(*) AS DOUBLE) AS k_vc"
+            f" FROM sym s JOIN lc{p} lc ON s.dst = lc.vid"
+            f" GROUP BY s.src, lc.c)"
+        )
+        parts.append(
+            f", gn{r} AS (SELECT n.vid, n.c, own.c AS c_own,"
+            f" (n.k_vc - COALESCE(ko.k_vc, 0.0)) / mm.m"
+            f" - d.deg * (t.tot - (town.tot - d.deg)) / (2.0 * mm.m * mm.m)"
+            f" AS dq"
+            f" FROM nb{r} n"
+            f" JOIN lc{p} own ON n.vid = own.vid"
+            f" JOIN tt{r} t ON n.c = t.c"
+            f" JOIN ldeg d ON n.vid = d.vid"
+            f" JOIN tt{r} town ON own.c = town.c"
+            f" LEFT JOIN nb{r} ko ON n.vid = ko.vid AND ko.c = own.c"
+            f" CROSS JOIN mm"
+            f" WHERE n.c <> own.c)"
+        )
+        parts.append(
+            f", bs{r} AS (SELECT vid, c AS c_new FROM"
+            f" (SELECT vid, c, dq, ROW_NUMBER() OVER"
+            f" (PARTITION BY vid ORDER BY dq DESC, c ASC) AS rn"
+            f" FROM gn{r}) WHERE rn = 1 AND dq > 1e-12"
+            f" AND ((vid * 2654435761 + {r} * 40503) % 4294967296) % 2 = 0)"
+        )
+        parts.append(
+            f", lc{r} AS MATERIALIZED (SELECT lc.vid,"
+            f" COALESCE(b.c_new, lc.c) AS c"
+            f" FROM lc{p} lc LEFT JOIN bs{r} b ON lc.vid = b.vid)"
+        )
+    parts.append(
+        f"SELECT v.vid, COALESCE(lc.c, v.vid) AS community"
+        f" FROM verts v LEFT JOIN lc{LOUVAIN_ROUNDS} lc ON v.vid = lc.vid"
+    )
+    return "\n".join(parts)
+
+
 def _centrality_profile_sql() -> str:
     """harmonic + closeness (+ its reached count) + k-source Brandes
     betweenness melted to one (kind, vid, value) gate — each leg its
@@ -1774,12 +1845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tail.state.select("vid", F.round("pr", 5).alias("pr"))
 
-    def q_edge_sample(spark, sf_dir):
-        from planar_spark.kernels.graphstats import sample_edges
-
-        g = _graph(spark, sf_dir)
-        return sample_edges(g.edges.select("src", "dst"), pct=20)
-
     def q_bowtie(spark, sf_dir):
         from planar_spark.kernels.scc import bowtie_regions
 
@@ -1875,6 +1940,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return core.unionAll(truss).unionAll(dens)
 
+    def q_louvain(spark, sf_dir):
+        # single-level fixed-round Louvain (r6): max_move_rounds ==
+        # the oracle's unroll count, max_levels=1 — both sides run the
+        # same deterministic move rounds (see _louvain_sql's float-
+        # parity argument; extra rounds past the kernel's fixpoint are
+        # parity-gated no-ops, so early termination cannot diverge).
+        from planar_spark.kernels.louvain import louvain
+
+        g = _graph(spark, sf_dir)
+        return louvain(
+            g, _cfg(), max_move_rounds=LOUVAIN_ROUNDS, max_levels=1
+        )
+
     def q_graph_profile(spark, sf_dir):
         # consolidated gate (r5): the one-pass graph profile — degree
         # histogram + reciprocity + power-law MLE + assortativity
@@ -1928,7 +2006,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "assortativity",
             [("n_ends", "n_ends"), ("pearson_r", "assortativity")],
         )
-        return h.unionAll(r).unionAll(p).unionAll(a)
+        # r6 consolidation: deterministic edge sampling folds in as
+        # ('edge_sample', src, dst) rows — frees the standalone
+        # edge_sample slot for the louvain gate; the md5-bucket
+        # filter stays fully value-hashed (every kept edge is a row)
+        from planar_spark.kernels.graphstats import sample_edges
+
+        es = sample_edges(g.edges.select("src", "dst"), pct=20).select(
+            F.lit("edge_sample").alias("stat"),
+            F.col("src").cast("string").alias("key"),
+            F.col("dst").cast("double").alias("value"),
+        )
+        return h.unionAll(r).unionAll(p).unionAll(a).unionAll(es)
 
     def q_two_hop_stats(spark, sf_dir):
         # consolidated gate (r5: one-hop WriteMin; r6: P20's out-degree
@@ -2321,8 +2410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": q_triad_census,
         "centrality_profile": q_centrality_profile,
         "local_clustering": q_local_clustering,
+        "louvain": q_louvain,
         "graph_profile": q_graph_profile,
-        "edge_sample": q_edge_sample,
         "decomposition_profile": q_decomposition_profile,
         "two_hop_stats": q_two_hop_stats,
         "khop_risk": q_khop_risk,
@@ -2449,10 +2538,6 @@ FROM documents d CROSS JOIN pos""",
         # warm-start = exact step-continuation, so the converged result
         # is the same 5-iteration fixpoint as the cold gate
         "pagerank_warmstart": _pagerank_sql(),
-        "edge_sample": f"""WITH {_EDGES}
-SELECT src, dst FROM edges
-WHERE CAST(('0x' || substr(md5('e0' || CAST(src AS VARCHAR) || '_'
-            || CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20""",
         "lpa": _lpa_sql(),
         "local_clustering": tri_base
         + """
@@ -2469,6 +2554,7 @@ SELECT t.vid, t.triangles, COALESCE(ud.udeg, CAST(0 AS BIGINT)) AS udeg,
             THEN ROUND(t.triangles * 2.0 / (ud.udeg * (ud.udeg - 1)), 6)
             ELSE 0.0 END AS lcc
 FROM tc t LEFT JOIN ud ON t.vid = ud.vid""",
+        "louvain": _louvain_sql(),
         "decomposition_profile": _decomposition_profile_sql(),
         # consolidated r5: the four graphstats kernels melted to
         # (stat, key, value), one hard gate — the run_kernel `stats`
@@ -2519,7 +2605,13 @@ FROM (WITH a0 AS ({_assortativity_sql()})
 SELECT u.k, u.v FROM a0 CROSS JOIN LATERAL (
     SELECT 'n_ends' AS k, CAST(a0.n_ends AS DOUBLE) AS v
     UNION ALL SELECT 'pearson_r', CAST(a0.assortativity AS DOUBLE)
-) u)""",
+) u)
+UNION ALL
+SELECT 'edge_sample', CAST(src AS VARCHAR), CAST(dst AS DOUBLE)
+FROM (WITH {_EDGES}
+SELECT src, dst FROM edges
+WHERE CAST(('0x' || substr(md5('e0' || CAST(src AS VARCHAR) || '_'
+            || CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20)""",
         # consolidated r5: one-hop WriteMin joined into the two-hop
         # gate; r6: out-degrees fold in too (full-vertex, -1/-0 fills)
         "two_hop_stats": f"""WITH {_EDGES},

@@ -740,14 +740,16 @@ def _louvain_sql() -> str:
     max_levels=1, max_move_rounds=LOUVAIN_ROUNDS) — per round: per-
     community degree totals, per-(vertex, neighbor-community) weight
     sums, the modularity-gain argmax with lowest-community tie-break,
-    and the alternating move-parity gate. Cross-engine float parity is
+    and the paired-complement hash move gate (round r gates the
+    high-bit class of H(v, (r+1)//2) when r is odd, its complement
+    when even). Cross-engine float parity is
     EXACT, not rounded: with w = 1 every dq input (k_vc, k_own, deg,
     tot, m) is an exact integer in double, the two divisions are IEEE
     correctly-rounded on identical operands, and both engines evaluate
     the same expression tree — so the argmax comparisons can never
-    disagree. Rounds past the kernel's two-zero-rounds fixpoint are
-    no-ops (the parity gate alternates classes, so two quiet rounds
-    imply every later round is quiet)."""
+    disagree. Rounds past the kernel's quiet-pair fixpoint are no-ops
+    (a quiet pair covers every vertex with state unchanged, so no
+    vertex wants to move and every later round is quiet too)."""
     parts = [
         f"WITH {_EDGES},",
         _UND + ",",
@@ -789,7 +791,8 @@ def _louvain_sql() -> str:
             f" (SELECT vid, c, dq, ROW_NUMBER() OVER"
             f" (PARTITION BY vid ORDER BY dq DESC, c ASC) AS rn"
             f" FROM gn{r}) WHERE rn = 1 AND dq > 1e-12"
-            f" AND ((vid * 2654435761 + {r} * 40503) % 4294967296) % 2 = 0)"
+            f" AND ((vid * 2654435761 + {(r + 1) // 2} * 40503)"
+            f" % 4294967296) {'>=' if r % 2 == 1 else '<'} 2147483648)"
         )
         parts.append(
             f", lc{r} AS MATERIALIZED (SELECT lc.vid,"

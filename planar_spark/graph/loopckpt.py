@@ -47,11 +47,19 @@ class LoopCheckpointer:
         config: EngineConfig | None,
         kernel: str,
         run_id: str | None = None,
+        retain: int | None = None,
     ):
+        """``retain``: keep only the newest N completed rounds, deleting
+        older round tables after each save commits. Unset (default)
+        keeps everything — right for bounded kernel loops, WRONG for a
+        continuously-running maintenance pipeline whose state is an
+        O(V) table per round (r6 ADVICE: an unbounded streaming WCC
+        state_dir is an operational hazard at 100 TB)."""
         config = config or EngineConfig()
         self.kernel = kernel
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.every = max(1, config.checkpoint_every)
+        self.retain = retain
         self._store = (
             TableStore(spark, config.checkpoint_dir)
             if config.checkpoint_dir
@@ -108,22 +116,49 @@ class LoopCheckpointer:
                 "completed": True,
             },
         )
+        if self.retain:
+            self.prune(self.retain)
         return {name: self._store.read(f"{base}/{name}") for name in tables}
+
+    def _completed_rounds(self) -> list[int]:
+        """Round numbers with a live completion marker, ascending."""
+        out = []
+        for name in self._store.list_meta_names(self._prefix):
+            tail = name.rsplit("/", 1)[-1]
+            if tail.startswith("round="):
+                rnd = int(tail.split("=")[1])
+                meta = self._store.read_meta(self._round_name(rnd)) or {}
+                if meta.get("completed", False):
+                    out.append(rnd)
+        return sorted(out)
+
+    def prune(self, keep: int) -> list[int]:
+        """Delete all completed rounds except the newest ``keep``.
+        Marker is retracted FIRST, tables after — a crash mid-prune
+        leaves orphan table files (harmless) but never a completed
+        marker over missing tables. Returns the pruned round numbers."""
+        if self._store is None or keep < 1:
+            return []
+        rounds = self._completed_rounds()
+        doomed = rounds[:-keep] if len(rounds) > keep else []
+        for rnd in doomed:
+            base = self._round_name(rnd)
+            meta = self._store.read_meta(base) or {}
+            self._store.retract_meta(base)
+            for t in meta.get("tables", []):
+                self._store.drop(f"{base}/{t}")
+            self._store.drop(base)  # fallback: removes the round dir
+        return doomed
 
     def latest(self) -> tuple[int, dict[str, DataFrame], dict] | None:
         """(round, {name: DataFrame}, metrics) of the newest COMPLETED
         round, or None when nothing durable exists for this run_id."""
         if self._store is None:
             return None
-        best = None
-        for name in self._store.list_meta_names(self._prefix):
-            tail = name.rsplit("/", 1)[-1]
-            if tail.startswith("round="):
-                rnd = int(tail.split("=")[1])
-                if best is None or rnd > best:
-                    best = rnd
-        if best is None:
+        rounds = self._completed_rounds()
+        if not rounds:
             return None
+        best = rounds[-1]
         base = self._round_name(best)
         meta = self._store.read_meta(base) or {}
         tables = {

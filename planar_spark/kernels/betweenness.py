@@ -52,9 +52,34 @@ _ACC_SCHEMA = "s long, vid long, delta double"
 def top_degree_sources(graph: GraphTables, k: int) -> list[int]:
     """Deterministic source sample: k max-out-degree vids, vid asc on
     ties (hubs first — the sources whose BFS DAGs cover the most
-    pairs, and the same seed rule the BFS partitioners use)."""
+    pairs, and the same seed rule the BFS partitioners use).
+
+    NOTE: the |V|/k Brandes-Pich scale is only an UNBIASED estimator
+    for uniformly sampled sources; over hub sources the scaled values
+    are a deterministic heuristic score that systematically overweights
+    hub-neighborhood vertices (r6 ADVICE). Callers who want the
+    estimator's statistical meaning should use ``uniform_sources`` /
+    ``source_sample="uniform"``."""
     rows = (
         graph.degrees.orderBy(F.col("out_deg").desc(), F.col("vid").asc())
+        .limit(k)
+        .select("vid")
+        .collect()
+    )
+    return [int(r["vid"]) for r in rows]
+
+
+def uniform_sources(graph: GraphTables, k: int) -> list[int]:
+    """Deterministic UNIFORM source sample: the k smallest md5(vid)
+    values. md5 is independent of degree and graph structure, so this
+    is a fixed uniform draw from V — the sampling regime under which
+    the |V|/k Brandes-Pich scale is an unbiased estimate — while
+    staying exactly reproducible (same graph -> same sources). One
+    TakeOrdered job (O(V) scan, k rows to the driver)."""
+    rows = (
+        graph.vertices.orderBy(
+            F.md5(F.col("vid").cast("string")).asc(), F.col("vid").asc()
+        )
         .limit(k)
         .select("vid")
         .collect()
@@ -73,12 +98,19 @@ def betweenness(
     run_id: str | None = None,
     resume: bool = False,
     max_rounds: int | None = None,
+    source_sample: str = "top_degree",
 ) -> DataFrame:
     """(vid, bc) over ALL vertices.
 
-    ``sources=None`` samples ``num_sources`` deterministically
-    (top-out-degree). ``estimate=True`` scales the sampled dependency
-    sum by |V|/k (the Brandes-Pich estimator); with ``estimate=False``
+    ``sources=None`` samples ``num_sources`` deterministically per
+    ``source_sample``: ``"top_degree"`` (default — max-coverage hub
+    sources; the |V|/k-scaled result is then a deterministic heuristic
+    SCORE, systematically overweighting hub neighborhoods, not an
+    unbiased estimate) or ``"uniform"`` (k smallest md5(vid) — a fixed
+    uniform draw, under which the |V|/k scale IS the Brandes-Pich
+    estimator; quantified in bench extras ``betweenness_est_*``:
+    top-100 overlap and Spearman rank correlation vs the exact run).
+    ``estimate=True`` applies the |V|/k scale; with ``estimate=False``
     and sources = all vertices the result is exact betweenness.
     ``max_rounds`` caps the COMBINED forward+backward round count
     (crash simulation for the resume tests); a capped run returns the
@@ -117,7 +149,12 @@ def betweenness(
                 acc = tables["acc"]
                 d_next = int(m["d_next"])
     if sources is None:
-        sources = top_degree_sources(graph, num_sources)
+        if source_sample == "uniform":
+            sources = uniform_sources(graph, num_sources)
+        elif source_sample == "top_degree":
+            sources = top_degree_sources(graph, num_sources)
+        else:
+            raise ValueError(f"unknown source_sample: {source_sample!r}")
     if not sources:
         return graph.vertices.select("vid", F.lit(0.0).alias("bc"))
 

@@ -47,6 +47,7 @@ def connected_components(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     algorithm: str = "hashmin",
+    run_id: str | None = None,
 ) -> SuperstepResult:
     """Returns state (vid, label) with label = min vid of the component.
 
@@ -76,7 +77,9 @@ def connected_components(
       pytest-checked against union-find on an adversarial cycle
       fixture). Always returns ``converged=True`` (empty-pick is a
       fixpoint proof); ``resume``/checkpointing ride the msf kernel's
-      LoopCheckpointer (kernel name ``msf``).
+      LoopCheckpointer (kernel name ``msf``) — pass the same ``run_id``
+      on the original call AND the retry, otherwise a fresh uuid is
+      minted per call and the "resume" silently restarts from scratch.
 
     - ``"auto"``: the production default for unknown diameter — run
       hashmin under the ``max_iterations`` budget; if the label-sum
@@ -106,10 +109,13 @@ def connected_components(
                 engine=engine,
                 resume=resume,
                 algorithm="hashmin",
+                run_id=run_id,
             )
         if result.converged:
             return result
-        return connected_components(graph, config, algorithm="boruvka")
+        return connected_components(
+            graph, config, algorithm="boruvka", run_id=run_id
+        )
     if algorithm == "boruvka":
         from planar_spark.kernels.mst import boruvka_msf
 
@@ -118,12 +124,17 @@ def connected_components(
         # it means the fixpoint proof (empty pick) was never reached,
         # and returning those labels as components would repeat the
         # silent-under-merge bug this mode exists to prevent
+        # run_id MUST be plumbed through for resume to mean anything:
+        # LoopCheckpointer mints a fresh uuid per call, so without the
+        # caller's run_id latest() is always None and a "resume" run
+        # silently restarts from scratch (r6 ADVICE).
         boruvka_msf(
             graph,
             config,
             max_rounds=64,
             metrics_out={},
             labels_out=lab_out,
+            run_id=run_id,
             resume=resume,
         )
         if not lab_out["fixpoint"]:

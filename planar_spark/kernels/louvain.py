@@ -10,12 +10,15 @@ community implementations), made fully deterministic:
 - MOVE rounds: every vertex computes the modularity gain of moving to
   each neighboring community (one edges⋈comm join + groupBy(v, c)),
   picks argmax gain with lowest-community-id tie-break, and moves iff
-  gain > 0 — but only vertices whose move-parity hash
-  H(v, round) % 2 == 0 move this round. Synchronous Louvain without
-  gating oscillates (two adjacent vertices swap communities forever);
-  parity gating is the deterministic analogue of Louvain's sequential
-  visit order. A level's move phase ends after TWO consecutive
-  zero-move rounds (both parity classes quiescent = fixpoint).
+  gain > 0 — but gated: rounds come in pairs, each pair splits V by
+  the HIGH bit of H(v, pair) and its two rounds gate the two classes
+  in turn (_move_gate). Synchronous Louvain without gating oscillates
+  (two adjacent vertices swap communities forever); hash gating is the
+  deterministic analogue of Louvain's sequential visit order, and the
+  per-pair-changing split breaks the swap cycles a FIXED split (or the
+  degenerate (v+r)%2 parity, r6 ADVICE) would let lock in. A level's
+  move phase ends on a quiet PAIR — two zero-move rounds covering
+  complementary classes of the same split = fixpoint proof.
 - CONTRACT: communities collapse to vertices, parallel edge weights
   sum, intra-community weight becomes a self-loop; the next level runs
   on the contracted graph. Levels stop when a level moves nothing.
@@ -53,8 +56,26 @@ _H_MOD = 1 << 32
 
 
 def _move_gate(vid_col, rnd: int):
-    """Deterministic move-parity: H(v, round) % 2 == 0."""
-    return ((vid_col * _H_A + F.lit(rnd) * _H_B) % _H_MOD) % 2 == 0
+    """Deterministic move gate: paired complementary hash classes.
+
+    Rounds come in pairs p = (r+1)//2. Within pair p the vertex set is
+    split by the HIGH bit of H(v, p); the odd round gates the high-bit
+    class ON, the even round its complement — so every pair covers all
+    vertices exactly once, which keeps the two-quiet-rounds-in-a-pair
+    fixpoint proof sound (see the loop's termination condition).
+
+    The HIGH bit, not ``% 2``: both hash constants are odd, so the low
+    bit degenerates to ``(v + p) % 2`` — adjacent vertices with the
+    same vid parity would be gated ON together every round and could
+    swap-oscillate for ~half of all edges (r6 ADVICE). The high bit
+    mixes vid and pair properly, and because the split CHANGES every
+    pair, two adjacent vertices land in the same class only with
+    probability 1/2 per pair — a persistent A<->B swap cycle decays
+    geometrically instead of locking in the way a fixed split would.
+    """
+    pair = (rnd + 1) // 2
+    hi = ((vid_col * _H_A + F.lit(pair) * _H_B) % _H_MOD) >= (1 << 31)
+    return hi if rnd % 2 == 1 else ~hi
 
 
 def louvain(
@@ -128,7 +149,16 @@ def louvain(
                 .groupBy("a", "b")
                 .agg(F.sum("w").alias("w"))
             )
-            cur = und.join(wn, ["a", "b"])
+            # left-join + loud failure on an uncovered edge (same
+            # contract as boruvka_msf, mst.py:109-118): an inner join
+            # would silently DROP edges missing from `weights` and
+            # quietly cluster a different graph (r6 ADVICE).
+            cur = und.join(wn, ["a", "b"], "left")
+            if cur.where(F.col("w").isNull()).limit(1).count() > 0:
+                raise ValueError(
+                    "louvain: `weights` must cover every undirected "
+                    "edge of the graph (found an edge with NULL weight)"
+                )
         else:
             cur = und.withColumn("w", F.lit(1.0))
         # cur: one row per undirected edge (a <= b after contraction;
@@ -193,7 +223,15 @@ def louvain(
             comm = deg.select("vid", F.col("vid").alias("c"))
             rounds = 0
             zero_streak = 0
-        while rounds < max_move_rounds and zero_streak < 2:
+        # stop only on a zero PAIR (streak >= 2 ending on an even
+        # round): the pair's two rounds gate complementary classes of
+        # the SAME hash split with state unchanged between them, so a
+        # quiet pair proves no vertex anywhere wants to move. A streak
+        # of 2 ending on an odd round spans two different splits and
+        # proves nothing — run one more round.
+        while rounds < max_move_rounds and not (
+            zero_streak >= 2 and rounds % 2 == 0
+        ):
             if budget <= 0:
                 capped = True
                 break

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -282,6 +283,39 @@ class TableStore:
             return None
         with open(p) as f:
             return json.load(f)
+
+    def drop(self, name: str) -> None:
+        """Delete a table (and its catalog entry, if any). Safe to call
+        on a name that was never written — used by round retention."""
+        if self.catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+            return
+        tbl = self._fallback_table(name)
+        try:
+            if self.spark.catalog.tableExists(tbl):
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:  # pragma: no cover - catalog probe only
+            pass
+        p = self._path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+    def retract_meta(self, name: str) -> None:
+        """Withdraw ``name``'s completion marker — the inverse of
+        write_meta, called BEFORE its tables are deleted so a crash
+        mid-retention can never leave a completed marker pointing at
+        half-deleted tables. Fallback: remove ``_META.json``; Iceberg:
+        append a ``completed: false`` tombstone row (read_meta returns
+        the newest row, so the tombstone shadows the old marker)."""
+        if self.catalog:
+            old = self.read_meta(name) or {}
+            self.write_meta(
+                name, {**old, "completed": False, "pruned": True}
+            )
+            return
+        p = os.path.join(self._path(name), "_META.json")
+        if os.path.exists(p):
+            os.remove(p)
 
     def list_meta_names(self, prefix: str) -> list[str]:
         """Names of all completed markers under ``prefix``."""

@@ -39,14 +39,24 @@ _RUN_ID = "maintain"  # fixed: state must be findable across restarts
 
 
 def _checkpointer(
-    spark: SparkSession, state_dir: str, config: EngineConfig | None
+    spark: SparkSession,
+    state_dir: str,
+    config: EngineConfig | None,
+    retain_rounds: int = 4,
 ) -> LoopCheckpointer:
     if not state_dir:
         raise ValueError("wcc maintenance requires a durable state_dir")
     cfg = config or EngineConfig()
     cfg = EngineConfig(**{**cfg.__dict__, "checkpoint_dir": state_dir,
                           "checkpoint_every": 1})
-    return LoopCheckpointer(spark, cfg, "wcc_stream", run_id=_RUN_ID)
+    # retention is NON-optional for this pipeline: every batch commits a
+    # full O(V) label copy as a new round, so an unbounded state_dir
+    # grows by |labels| per batch forever (r6 ADVICE). 4 rounds keeps
+    # enough history to debug a bad delta while bounding state at
+    # 4x|labels|.
+    return LoopCheckpointer(
+        spark, cfg, "wcc_stream", run_id=_RUN_ID, retain=retain_rounds
+    )
 
 
 def apply_edge_delta(
@@ -55,11 +65,13 @@ def apply_edge_delta(
     delta: DataFrame,
     config: EngineConfig | None = None,
     batch_id: int | None = None,
+    retain_rounds: int = 4,
 ) -> DataFrame:
     """Merge one (src, dst) edge delta into the durable label state and
     return the new labels. Usable directly (batch callers) and as the
-    foreachBatch body (run_wcc_maintenance)."""
-    ckpt = _checkpointer(spark, state_dir, config)
+    foreachBatch body (run_wcc_maintenance). Only the newest
+    ``retain_rounds`` label snapshots are kept on disk."""
+    ckpt = _checkpointer(spark, state_dir, config, retain_rounds)
     edges = (
         delta.select("src", "dst")
         .where(F.col("src") != F.col("dst"))

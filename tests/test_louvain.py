@@ -47,7 +47,9 @@ def _py_louvain(edges, n, max_levels=4, max_move_rounds=64):
             break
         comm = {v: v for v in verts}
         rounds, zero_streak = 0, 0
-        while rounds < max_move_rounds and zero_streak < 2:
+        while rounds < max_move_rounds and not (
+            zero_streak >= 2 and rounds % 2 == 0
+        ):
             rounds += 1
             tot: dict[int, float] = {}
             for v in verts:
@@ -70,7 +72,9 @@ def _py_louvain(edges, n, max_levels=4, max_move_rounds=64):
                     if best is None or key > best:
                         best = key
                 if best is not None and best[0] > 1e-12:
-                    if (v * _H_A + rounds * _H_B) % _H_MOD % 2 == 0:
+                    pair = (rounds + 1) // 2
+                    hi = (v * _H_A + pair * _H_B) % _H_MOD >= 1 << 31
+                    if hi if rounds % 2 == 1 else not hi:
                         moves[v] = -best[1]
             for v, c in moves.items():
                 comm[v] = c

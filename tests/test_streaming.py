@@ -182,3 +182,40 @@ def test_streaming_wcc_maintenance_exactly_once_and_chain_delta(
         for r in wcc_labels_latest(spark, state_dir, config).collect()
     }
     assert again == got
+
+
+def test_wcc_maintenance_round_retention(spark, tmp_path, config):
+    """The maintenance state_dir must stay bounded: every batch writes a
+    full O(V) label snapshot as a new round, so without retention a
+    long-running pipeline grows without bound (r6 ADVICE). With
+    retain_rounds=2, after 5 deltas only the newest 2 completed rounds
+    survive on disk, and latest() still returns the round-5 labels."""
+    from planar_spark.streaming.wcc_maintain import (
+        _checkpointer,
+        apply_edge_delta,
+    )
+
+    state_dir = str(tmp_path / "wcc_state_ret")
+    for i in range(5):
+        delta = spark.createDataFrame(
+            [(2 * i, 2 * i + 1)], "src long, dst long"
+        )
+        labels = apply_edge_delta(
+            spark, state_dir, delta, config, retain_rounds=2
+        )
+        assert labels.count() == 2 * (i + 1)
+
+    ckpt = _checkpointer(spark, state_dir, config, retain_rounds=2)
+    run_dir = os.path.join(state_dir, "wcc_stream", "maintain")
+    completed = sorted(
+        e for e in os.listdir(run_dir)
+        if os.path.exists(os.path.join(run_dir, e, "_META.json"))
+    )
+    assert completed == ["round=00004", "round=00005"]
+    # pruned rounds' table files are gone too, not just their markers
+    assert sorted(os.listdir(run_dir)) == completed
+
+    rnd, tables, _m = ckpt.latest()
+    assert rnd == 5
+    got = {r["vid"]: r["label"] for r in tables["labels"].collect()}
+    assert got == {2 * i + j: 2 * i for i in range(5) for j in (0, 1)}

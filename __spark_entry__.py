@@ -1848,6 +1848,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tail.state.select("vid", F.round("pr", 5).alias("pr"))
 
+    def q_pagerank_locality(spark, sf_dir):
+        """The BASELINE metric kernel on a with_partitioning locality
+        layout (r7): region-major relabel -> block-pinned gather
+        (salted_gather_join block mode, zero edge-side exchange) ->
+        results mapped back through the relabel mapping. Must
+        hash-match the SAME 5-iteration unrolled SQL as the plain
+        pagerank gate — the layout changes the physical plan only."""
+        g = _graph(spark, sf_dir)
+        g2, mapping = g.with_partitioning(
+            "bfs_vertex_cut", num_partitions=_cfg().num_partitions
+        )
+        r = pagerank(g2, _cfg(), num_iterations=PR_ITERS)
+        return (
+            r.state.join(
+                mapping.select(
+                    F.col("new_vid").alias("vid"),
+                    F.col("vid").alias("_ov"),
+                ),
+                "vid",
+            )
+            .select(
+                F.col("_ov").alias("vid"), F.round("pr", 5).alias("pr")
+            )
+        )
+
     def q_bowtie(spark, sf_dir):
         from planar_spark.kernels.scc import bowtie_regions
 
@@ -1947,8 +1972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-level fixed-round Louvain (r6): max_move_rounds ==
         # the oracle's unroll count, max_levels=1 — both sides run the
         # same deterministic move rounds (see _louvain_sql's float-
-        # parity argument; extra rounds past the kernel's fixpoint are
-        # parity-gated no-ops, so early termination cannot diverge).
+        # parity argument; extra rounds past the kernel's quiet-pair
+        # fixpoint are no-ops, so early termination cannot diverge).
         from planar_spark.kernels.louvain import louvain
 
         g = _graph(spark, sf_dir)
@@ -2407,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "sssp_weighted": q_sssp_weighted,
         "pagerank_warmstart": q_pagerank_warmstart,
+        "pagerank_locality": q_pagerank_locality,
         "neighborhood_function": q_neighborhood_function,
         "distance_histogram": q_distance_histogram,
         "effective_diameter": q_effective_diameter,
@@ -2541,6 +2567,7 @@ FROM documents d CROSS JOIN pos""",
         # warm-start = exact step-continuation, so the converged result
         # is the same 5-iteration fixpoint as the cold gate
         "pagerank_warmstart": _pagerank_sql(),
+        "pagerank_locality": _pagerank_sql(),
         "lpa": _lpa_sql(),
         "local_clustering": tri_base
         + """

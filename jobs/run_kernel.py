@@ -68,11 +68,12 @@ def main() -> None:
     )
     ap.add_argument(
         "--wcc-algorithm", choices=["hashmin", "boruvka", "auto"],
-        default="hashmin",
+        default="auto",
         help="wcc rounds: hashmin = cheap O(diameter) supersteps "
         "(low-diameter graphs), boruvka = O(log V)-guaranteed rounds "
-        "(high-diameter graphs), auto = hashmin budget then boruvka "
-        "fallback on non-convergence",
+        "(high-diameter graphs), auto (production default, r7) = "
+        "hashmin budget then boruvka fallback on non-convergence — a "
+        "high-diameter input can never silently under-merge",
     )
     args = ap.parse_args()
     if not (args.pages or args.graph):
@@ -115,7 +116,8 @@ def main() -> None:
     elif args.kernel == "wcc":
         r = connected_components(g, cfg, engine=engine("connected_components"),
                                  resume=args.resume,
-                                 algorithm=args.wcc_algorithm)
+                                 algorithm=args.wcc_algorithm,
+                                 run_id=args.run_id)
         out, meta = r.state, r
     elif args.kernel == "lpa":
         r = label_propagation(g, cfg, num_iterations=args.iterations,
@@ -245,7 +247,8 @@ def main() -> None:
         from planar_spark.kernels.hyperball import hyperball_centralities
 
         out, meta = hyperball_centralities(
-            g, args.iterations or 8, cfg
+            g, args.iterations or 8, cfg,
+            run_id=args.run_id, resume=args.resume,
         ), None
     elif args.kernel == "node2vec":
         from planar_spark.kernels.neighborhood import node2vec_walk

@@ -180,6 +180,19 @@ def block_pinned_sym(graph, parts: int) -> DataFrame:
     )
 
 
+def block_pinned_edges(graph, parts: int) -> DataFrame:
+    """The DIRECTED edge table in the block-pinned layout: (sblk, src,
+    dst), hash-partitioned by sblk and sorted by (sblk, src) — the
+    out-edge analogue of block_pinned_sym, consumed by pagerank-family
+    gathers (salted_gather_join's block mode). Caller persists."""
+    bs = graph.block_size
+    return (
+        graph.edges.withColumn("sblk", F.expr(f"src div {int(bs)}"))
+        .repartition(parts, "sblk")
+        .sortWithinPartitions("sblk", "src")
+    )
+
+
 def gather_fanin_rows(sym: DataFrame) -> int:
     """Rows the gather's map-side partial aggregation feeds into the
     groupBy(dst) shuffle = Σ over physical partitions of distinct dst

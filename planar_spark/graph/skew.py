@@ -46,13 +46,43 @@ def salted_gather_join(
     state: DataFrame,
     config: EngineConfig,
     hubs: DataFrame | None = None,
+    block_size: int | None = None,
 ) -> DataFrame:
     """edges(src, dst, ...) ⋈ state(vid, ...) on src==vid, hub-salted.
 
     Returns the joined DataFrame with edge columns + state columns
     (state's ``vid`` column is dropped; join key is ``src``).
+
+    ``block_size`` switches to the BLOCK-PINNED gather for graphs in a
+    with_partitioning locality layout (graph.block_size set): ``edges``
+    must then carry an ``sblk`` column and sit hash-partitioned by it
+    (graph/locality.py block_pinned_edges); the join runs on the
+    compound key (sblk = vid div block_size) AND (src = vid), so
+    HashPartitioning(sblk) satisfies the join's distribution — zero
+    edge-side exchange — while the join output lives in region-pinned
+    partitions and the downstream groupBy(dst) partial agg emits
+    ~V + cut rows instead of ~parts*V (locality.py module doc). Hub
+    salting is a no-op under pinning (a hub's edges live in its own
+    block's partition by construction — redistributing them is exactly
+    what the pin forbids); block granularity + AQE carry hub skew here.
     """
     k = max(1, config.salt_buckets)
+    if block_size is not None:
+        s = state.withColumn(
+            "vblk", F.expr(f"vid div {int(block_size)}")
+        )
+        e = edges
+        if config.gather_join == "shuffle_hash":
+            s = s.hint("shuffle_hash")  # SHJ builds on the state side
+        elif config.gather_join:
+            # merge hint on the edge side: SMJ reuses the cached
+            # (sblk, src) sort + HashPartitioning(sblk) — and keeps AQE
+            # from broadcasting a small state at test scale, which is
+            # not the at-scale plan
+            e = edges.hint(config.gather_join)
+        return e.join(
+            s, (e["sblk"] == s["vblk"]) & (e["src"] == s["vid"])
+        ).drop("vid", "vblk")
     if hubs is None:
         # "merge": hint rides the edge side (SMJ reuses its cached sort
         # + partitioning). "shuffle_hash": hint rides the STATE side —

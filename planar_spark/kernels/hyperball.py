@@ -32,6 +32,7 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.loopckpt import LoopCheckpointer
 from planar_spark.graph.superstep import releaf
 from planar_spark.graph.tables import GraphTables
 
@@ -270,14 +271,28 @@ def hyperball(
     radius: int,
     config: EngineConfig | None = None,
     lg_config_k: int = 12,
+    run_id: str | None = None,
+    resume: bool = False,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """(vid, nf_est) — HLL-sketch estimate of the radius-ball size.
 
     State per superstep is one sketch per vertex; the gather is the
     same reversed-edge merge join as kernels/hits.py's hub phase.
+
+    Durable resume (r7): with ``config.checkpoint_dir`` set, the (vid,
+    sk) state table — the sketches are opaque binary, which TableStore
+    round-trips — is saved through LoopCheckpointer every
+    ``config.checkpoint_every`` radii; ``resume=True`` with the same
+    ``run_id`` re-enters at the next radius. This is the self-declared
+    100 TB diameter path, so a driver loss at radius N of a long sweep
+    must not restart from zero. ``max_rounds`` caps the radii processed
+    THIS CALL (crash simulation for the resume tests); a capped run
+    returns the partial-radius estimates — resume to finish.
     """
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
+    ckpt = LoopCheckpointer(graph.spark, config, "hyperball", run_id=run_id)
 
     rev = (
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -286,13 +301,29 @@ def hyperball(
         .sortWithinPartitions("src")
         .persist()
     )
-    state = releaf(
-        graph.vertices.groupBy("vid")
-        .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
-        .repartition(parts, "vid")
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(radius):
+    state = None
+    start_r = 0
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            start_r, tables, _mm = latest
+            state = releaf(
+                tables["state"].repartition(parts, "vid")
+                .localCheckpoint(eager=True)
+            )
+    if state is None:
+        start_r = 0
+        state = releaf(
+            graph.vertices.groupBy("vid")
+            .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
+            .repartition(parts, "vid")
+            .localCheckpoint(eager=True)
+        )
+    budget = max_rounds if max_rounds is not None else (1 << 30)
+    for r in range(start_r + 1, radius + 1):
+        if budget <= 0:
+            break
+        budget -= 1
         # ball(v) ∪= ball(w) for each out-edge v→w: the reversed table
         # keys the join by w (its src column), then ships the merged
         # neighbor sketch to v with one partial-agg'd shuffle.
@@ -311,6 +342,9 @@ def hyperball(
             )
             .localCheckpoint(eager=True)
         )
+        saved = ckpt.save(r, {"state": state}, {"radius": r})
+        if saved is not None:
+            state = saved["state"]
     out = state.select(
         "vid", F.hll_sketch_estimate("sk").alias("nf_est")
     )
@@ -324,6 +358,9 @@ def hyperball_nf_profile(
     config: EngineConfig | None = None,
     lg_config_k: int = 8,
     metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """(r, total_nf_est): the GLOBAL neighborhood function per radius
     0..radius from HyperBall sketches — Σ_v |B(v, r)| estimated, the
@@ -349,9 +386,15 @@ def hyperball_nf_profile(
     per round (15× faster end-to-end) with the interpolated effective
     diameter agreeing with lgK=10 to 1e-5 (3.887657 vs 3.887669).
     ``metrics_out['round_secs']`` reports per-round wall time so
-    benches keep attributing cost to the radius."""
+    benches keep attributing cost to the radius.
+
+    Durable resume (r7): same LoopCheckpointer contract as
+    ``hyperball`` (kernel name ``hyperball_nf``); the accumulated
+    global profile and per-round secs ride the round metadata, so a
+    resumed sweep reports the full curve."""
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
+    ckpt = LoopCheckpointer(graph.spark, config, "hyperball_nf", run_id=run_id)
 
     rev = (
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -361,17 +404,37 @@ def hyperball_nf_profile(
         .persist()
     )
     est = F.hll_sketch_estimate("sk")
-    obs0 = Observation()
-    state = releaf(
-        graph.vertices.groupBy("vid")
-        .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
-        .repartition(parts, "vid")
-        .observe(obs0, F.sum(est).alias("nf"))
-        .localCheckpoint(eager=True)
-    )
-    profile = [(0, float(obs0.get["nf"] or 0.0))]
+    state = None
+    start_r = 0
+    profile: list[tuple[int, float]] = []
     round_secs: list[float] = []
-    for r in range(1, radius + 1):
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            start_r, tables, mm = latest
+            state = releaf(
+                tables["state"].repartition(parts, "vid")
+                .localCheckpoint(eager=True)
+            )
+            profile = [(int(r), float(v)) for r, v in mm["profile"]]
+            round_secs = [float(s) for s in mm.get("round_secs", [])]
+    if state is None:
+        start_r = 0
+        obs0 = Observation()
+        state = releaf(
+            graph.vertices.groupBy("vid")
+            .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
+            .repartition(parts, "vid")
+            .observe(obs0, F.sum(est).alias("nf"))
+            .localCheckpoint(eager=True)
+        )
+        profile = [(0, float(obs0.get["nf"] or 0.0))]
+        round_secs = []
+    budget = max_rounds if max_rounds is not None else (1 << 30)
+    for r in range(start_r + 1, radius + 1):
+        if budget <= 0:
+            break
+        budget -= 1
         t0 = time.time()
         msgs = (
             rev.join(state.withColumnRenamed("vid", "src"), "src")
@@ -392,6 +455,13 @@ def hyperball_nf_profile(
         )
         profile.append((r, float(obs.get["nf"] or 0.0)))
         round_secs.append(round(time.time() - t0, 3))
+        saved = ckpt.save(
+            r,
+            {"state": state},
+            {"radius": r, "profile": profile, "round_secs": round_secs},
+        )
+        if saved is not None:
+            state = saved["state"]
     rev.unpersist()
     if metrics_out is not None:
         metrics_out["round_secs"] = round_secs
@@ -408,6 +478,8 @@ def effective_diameter_approx(
     config: EngineConfig | None = None,
     lg_config_k: int = 8,
     metrics_out: dict | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """One row (q, eff_diameter): interpolated effective diameter from
     the HyperBall neighborhood-function profile — the sketch-mode
@@ -420,7 +492,8 @@ def effective_diameter_approx(
     prof = {
         int(r["r"]): float(r["total_nf_est"])
         for r in hyperball_nf_profile(
-            graph, radius, config, lg_config_k, metrics_out=metrics_out
+            graph, radius, config, lg_config_k, metrics_out=metrics_out,
+            run_id=run_id, resume=resume,
         ).collect()
     }
     if not prof or max(prof.values()) <= 0.0:
@@ -452,6 +525,9 @@ def hyperball_centralities(
     radius: int,
     config: EngineConfig | None = None,
     lg_config_k: int = 12,
+    run_id: str | None = None,
+    resume: bool = False,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """(vid, nf_est, harmonic_est, closeness_est): truncated harmonic
     and closeness centrality estimated from HyperBall's HLL counters —
@@ -488,9 +564,18 @@ def hyperball_centralities(
     so the estimates match the exact kernels to float tolerance; at
     bench scale the error bound is asserted like hyperball's
     (bench.py big_graph: harmonic r=1 vs exact out-degree).
+
+    Durable resume (r7): same LoopCheckpointer contract as
+    ``hyperball`` (kernel name ``hyperball_centralities``) — the full
+    accumulator state (vid, sk, prev_est, h, dist_total, ecc) is one
+    table per saved radius; ``max_rounds`` caps radii processed this
+    call for the crash-simulation tests.
     """
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
+    ckpt = LoopCheckpointer(
+        graph.spark, config, "hyperball_centralities", run_id=run_id
+    )
 
     rev = (
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -500,20 +585,36 @@ def hyperball_centralities(
         .persist()
     )
     est = F.hll_sketch_estimate("sk")
-    state = releaf(
-        graph.vertices.groupBy("vid")
-        .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
-        .select(
-            "vid", "sk",
-            est.alias("prev_est"),
-            F.lit(0.0).alias("h"),
-            F.lit(0.0).alias("dist_total"),
-            F.lit(0).alias("ecc"),
+    state = None
+    start_r = 0
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            start_r, tables, _mm = latest
+            state = releaf(
+                tables["state"].repartition(parts, "vid")
+                .localCheckpoint(eager=True)
+            )
+    if state is None:
+        start_r = 0
+        state = releaf(
+            graph.vertices.groupBy("vid")
+            .agg(F.hll_sketch_agg("vid", F.lit(lg_config_k)).alias("sk"))
+            .select(
+                "vid", "sk",
+                est.alias("prev_est"),
+                F.lit(0.0).alias("h"),
+                F.lit(0.0).alias("dist_total"),
+                F.lit(0).alias("ecc"),
+            )
+            .repartition(parts, "vid")
+            .localCheckpoint(eager=True)
         )
-        .repartition(parts, "vid")
-        .localCheckpoint(eager=True)
-    )
-    for r in range(1, radius + 1):
+    budget = max_rounds if max_rounds is not None else (1 << 30)
+    for r in range(start_r + 1, radius + 1):
+        if budget <= 0:
+            break
+        budget -= 1
         msgs = (
             rev.join(
                 state.select("vid", "sk").withColumnRenamed("vid", "src"),
@@ -552,6 +653,9 @@ def hyperball_centralities(
             )
             .localCheckpoint(eager=True)
         )
+        saved = ckpt.save(r, {"state": state}, {"radius": r})
+        if saved is not None:
+            state = saved["state"]
     out = state.select(
         "vid",
         F.col("prev_est").alias("nf_est"),

@@ -360,27 +360,33 @@ def louvain(
         )
 
         # modularity of this level's partition (on the level graph):
-        # Q = Σ_c [ in_c/m − (tot_c/(2m))² ], in_c = intra weight
+        # Q = Σ_c [ in_c/m − (tot_c/(2m))² ], in_c = intra weight.
+        # METERED (r6 VERDICT finding #2): these are reporting-only
+        # driver actions — 2 collects + a count per level — so they run
+        # only when the caller asked for metrics_out; the hard-gate and
+        # production paths pay 1 action per move round + m per level.
         ca = comm.select(F.col("vid").alias("a"), F.col("c").alias("ca"))
         cb = comm.select(F.col("vid").alias("b"), F.col("c").alias("cb"))
-        intra = (
-            cur.join(ca, "a")
-            .join(cb, "b")
-            .where(F.col("ca") == F.col("cb"))
-            .agg(F.coalesce(F.sum("w"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        tot_rows = (
-            comm.join(deg, "vid").groupBy("c").agg(F.sum("deg").alias("t"))
-        )
-        sq = tot_rows.agg(
-            F.coalesce(F.sum(F.col("t") * F.col("t")), F.lit(0.0))
-        ).collect()[0][0]
-        q_final = intra / m - sq / (4.0 * m * m)
-        n_comm = tot_rows.count()
+        if metrics_out is not None:
+            intra = (
+                cur.join(ca, "a")
+                .join(cb, "b")
+                .where(F.col("ca") == F.col("cb"))
+                .agg(F.coalesce(F.sum("w"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            tot_rows = (
+                comm.join(deg, "vid").groupBy("c").agg(F.sum("deg").alias("t"))
+            )
+            sq = tot_rows.agg(
+                F.coalesce(F.sum(F.col("t") * F.col("t")), F.lit(0.0))
+            ).collect()[0][0]
+            q_final = intra / m - sq / (4.0 * m * m)
+            n_comm = tot_rows.count()
 
-        # no movement at all this level -> done (rounds==2 means both
-        # parity classes were immediately quiescent)
+        # no movement at all this level -> done (rounds==2 means the
+        # first pair was immediately quiescent — both classes of its
+        # split saw zero moves)
         total_moved = rounds > 2
         if not total_moved:
             break

@@ -68,10 +68,25 @@ def pagerank(
     iters = num_iterations or config.max_iterations
     parts = config.partitions_for(spark)
 
-    edges = graph.edges
+    # Layout-aware gather (r7): on a with_partitioning graph
+    # (region-major ids, graph.block_size set) the edge table is pinned
+    # by locality BLOCK and the gather joins on the compound
+    # (sblk, src) key — zero edge-side exchange, and the groupBy(dst)
+    # partial agg emits ~V + cut rows instead of ~parts*V
+    # (graph/locality.py; same consumption pattern as WCC,
+    # components.py). Hub salting is a no-op under pinning (skew.py).
+    bs = getattr(graph, "block_size", None)
+    pinned = None
+    if bs:
+        from planar_spark.graph.locality import block_pinned_edges
+
+        pinned = block_pinned_edges(graph, parts).persist()
+        edges, hubs = pinned, None
+    else:
+        edges = graph.edges
+        hubs_df = hub_vertices(graph.degrees, config.hub_degree_threshold)
+        hubs = hubs_df if hubs_df.limit(1).count() > 0 else None
     base = graph.degrees  # (vid, out_deg), partitioned by vid
-    hubs_df = hub_vertices(graph.degrees, config.hub_degree_threshold)
-    hubs = hubs_df if hubs_df.limit(1).count() > 0 else None
 
     def init_state() -> DataFrame:
         if init_ranks is not None:
@@ -90,7 +105,9 @@ def pagerank(
         live = state.where(F.col("out_deg") > 0).select(
             "vid", (F.col("pr") / F.col("out_deg")).alias("w")
         )
-        gathered = salted_gather_join(edges, live, config, hubs=hubs)
+        gathered = salted_gather_join(
+            edges, live, config, hubs=hubs, block_size=bs
+        )
         contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
             F.sum("w").alias("contrib")
         )
@@ -150,4 +167,7 @@ def pagerank(
         spark, config, "pagerank",
         lineage={"num_vertices": n, "num_edges": graph.num_edges},
     )
-    return engine.run(init_state, step, iters, converged, resume=resume)
+    result = engine.run(init_state, step, iters, converged, resume=resume)
+    if pinned is not None:
+        pinned.unpersist()
+    return result

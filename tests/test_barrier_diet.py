@@ -199,3 +199,45 @@ def test_coloring_round_plan_has_no_collect_set(spark, config):
     # range) feeding a LeftAnti join
     assert "Generate" in opt, opt
     assert "LeftAnti" in opt, opt
+
+
+def test_louvain_no_metrics_job_diet(spark, config):
+    """Without metrics_out, louvain must not run the reporting-only
+    Q/communities actions (2 collects + a count per level, r6 VERDICT
+    finding #2): the job budget is 1 localCheckpoint action per move
+    round + the m collect per level (+ checkpointer IO, disabled here),
+    with per-action broadcast-build jobs allowed (factor 2)."""
+    from planar_spark.config import EngineConfig
+    from planar_spark.kernels.louvain import louvain
+
+    from planar_spark.ingest.pages import edges_two_cliques
+
+    edges, n = edges_two_cliques(8, n_isolated=0)
+    g = graph_from_numpy(spark, np.asarray(edges), n)
+    g.edges.count()
+    cfg = EngineConfig(
+        num_partitions=config.num_partitions, checkpoint_dir=None
+    )
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("louvain-diet", "louvain job diet")
+        m: dict = {}
+        louvain(g, cfg, metrics_out=m).count()
+        with_metrics = len(sc.statusTracker().getJobIdsForGroup("louvain-diet"))
+        sc.setJobGroup("louvain-diet2", "louvain no metrics")
+        louvain(g, cfg).count()
+        no_metrics = len(sc.statusTracker().getJobIdsForGroup("louvain-diet2"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    levels = m["levels"]
+    rounds = sum(m["move_rounds"])
+    # metrics path runs 3 extra actions per completed level
+    assert with_metrics - no_metrics >= 2 * levels, (
+        with_metrics, no_metrics, m,
+    )
+    # budget: per move round 1 comm ckpt + per level (cur/deg/sym
+    # releafs + m collect + assign compose + contraction) — each action
+    # may add a broadcast-build job
+    actions = rounds + 7 * (levels + 1) + 2
+    assert no_metrics <= 2 * actions, (no_metrics, m)

@@ -258,3 +258,44 @@ def test_incremental_wcc_chain_delta(spark, config):
     want = oracle_components(np.concatenate([old_e, new_e]), n)
     assert (want == 0).all()  # one merged component, sanity
     assert np.array_equal(got, want)
+
+
+def test_run_kernel_wcc_defaults_to_auto_on_scrambled_cycle(
+    spark, tmp_path, config
+):
+    """Ship-path integration (r7): `run_kernel --kernel wcc` now
+    defaults to algorithm=auto, so a high-diameter input (scrambled
+    512-cycle, diameter 256 — hash-min stalls inside its 50-round
+    budget) falls back to the Boruvka mode and can never silently
+    under-merge in production."""
+    import json
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from jobs.run_kernel import main as run_kernel_main
+    from planar_spark.graph.tables import GraphTables
+
+    n, mult = 512, 405  # mult coprime to 512 -> label-adversarial ids
+    cyc = spark.range(n).select(
+        ((F.col("id") * mult) % n).alias("src"),
+        (((F.col("id") + 1) * mult) % n).alias("dst"),
+    )
+    g = GraphTables.from_edges(cyc, 8)
+    gdir, odir = str(tmp_path / "graph"), str(tmp_path / "out")
+    g.write(gdir)
+
+    argv_save = sys.argv
+    try:
+        sys.argv = [
+            "run_kernel.py", "--kernel", "wcc",
+            "--graph", gdir, "--output", odir, "--partitions", "8",
+        ]
+        run_kernel_main()
+    finally:
+        sys.argv = argv_save
+    labels = {
+        r["vid"]: r["label"] for r in spark.read.parquet(odir).collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {0}  # exact single component, min vid

@@ -286,3 +286,79 @@ def test_louvain_resume_equals_uninterrupted(spark, tmp_path):
         for r in louvain(g, cfg, run_id="lv1", resume=True).collect()
     }
     assert resumed == full
+
+
+def test_hyperball_resume_equals_uninterrupted(spark, tmp_path):
+    """The 100 TB diameter path (r7): kill the HLL sweep after radius 2
+    of 4, resume with the same run_id — the restored binary sketches
+    must produce estimates identical to an uninterrupted radius-4 run
+    (HLL unions are deterministic, so equality is exact)."""
+    from pyspark.sql import functions as F
+
+    from planar_spark.kernels.hyperball import hyperball
+
+    edges = edges_powerlaw(200, m=2, seed=3)
+    g = graph_from_numpy(spark, np.asarray(edges), 200)
+    cfg = _cfg(tmp_path)
+
+    partial = hyperball(g, 4, cfg, run_id="hb1", max_rounds=2)
+    # the crash really was partial: radius-2 balls are strictly smaller
+    full = hyperball(g, 4, EngineConfig(num_partitions=8))
+    p_sum = partial.agg(F.sum("nf_est")).collect()[0][0]
+    f_sum = full.agg(F.sum("nf_est")).collect()[0][0]
+    assert p_sum < f_sum
+
+    resumed = hyperball(g, 4, cfg, run_id="hb1", resume=True)
+    assert _rows(resumed) == _rows(full)
+
+
+def test_hyperball_centralities_resume_equals_uninterrupted(
+    spark, tmp_path
+):
+    """Same contract for the accumulator variant: prev_est/h/dist_total
+    /ecc all live in the durable state table, so the resumed harmonic/
+    closeness/ecc estimates must be exactly the uninterrupted ones."""
+    from planar_spark.kernels.hyperball import hyperball_centralities
+
+    edges = edges_powerlaw(200, m=2, seed=7)
+    g = graph_from_numpy(spark, np.asarray(edges), 200)
+    cfg = _cfg(tmp_path)
+
+    hyperball_centralities(g, 4, cfg, run_id="hbc1", max_rounds=2)
+    resumed = hyperball_centralities(
+        g, 4, cfg, run_id="hbc1", resume=True
+    )
+    full = hyperball_centralities(g, 4, EngineConfig(num_partitions=8))
+    assert _rows(resumed) == _rows(full)
+
+
+def test_nf_profile_resume_reports_full_curve(spark, tmp_path):
+    """hyperball_nf_profile's driver-side accumulators (profile,
+    round_secs) ride the round metadata: killed after radius 2 of 4 and
+    resumed, the returned curve must contain ALL radii 0..4 with the
+    uninterrupted run's values — and effective_diameter_approx resumed
+    through it must match exactly."""
+    from planar_spark.kernels.hyperball import (
+        effective_diameter_approx,
+        hyperball_nf_profile,
+    )
+
+    edges = edges_powerlaw(200, m=2, seed=5)
+    g = graph_from_numpy(spark, np.asarray(edges), 200)
+    cfg = _cfg(tmp_path)
+
+    part = hyperball_nf_profile(g, 4, cfg, run_id="nf1", max_rounds=2)
+    assert part.count() == 3  # radii 0..2 only — a real partial run
+    m: dict = {}
+    resumed = hyperball_nf_profile(
+        g, 4, cfg, run_id="nf1", resume=True, metrics_out=m
+    )
+    full = hyperball_nf_profile(g, 4, EngineConfig(num_partitions=8))
+    assert _rows(resumed) == _rows(full)
+    assert len(m["round_secs"]) == 4  # secs from BOTH halves reported
+
+    eff_r = effective_diameter_approx(
+        g, 4, config=cfg, run_id="nf1", resume=True
+    )
+    eff_f = effective_diameter_approx(g, 4, config=EngineConfig(num_partitions=8))
+    assert _rows(eff_r) == _rows(eff_f)

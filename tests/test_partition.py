@@ -326,3 +326,30 @@ def test_locality_layout_shrinks_gather_fanin(spark, config):
     # near-V absolute bound.
     assert fan_loc <= 2 * n, (fan_loc, n)
     assert fan_hash >= 2 * fan_loc, (fan_hash, fan_loc)
+
+
+def test_pagerank_on_locality_layout_matches_plain(spark, config):
+    """pagerank(with_partitioning(g)) mapped back through the relabel
+    mapping must equal pagerank(g) — the r7 consumption contract for
+    the BASELINE metric kernel (pagerank_locality driver gate)."""
+    from pyspark.sql import functions as F
+
+    from planar_spark.kernels.pagerank import pagerank
+
+    edges = edges_powerlaw(300, m=3, seed=5)
+    g = graph_from_numpy(spark, np.array(edges), 300)
+    plain = {
+        r["vid"]: r["pr"]
+        for r in pagerank(g, config, num_iterations=5).state.collect()
+    }
+    g2, mapping = g.with_partitioning("bfs_vertex_cut", num_partitions=8)
+    r2 = pagerank(g2, config, num_iterations=5).state
+    back = r2.join(
+        mapping.select(F.col("new_vid").alias("vid"), F.col("vid").alias("ov")),
+        "vid",
+    ).select(F.col("ov").alias("vid"), "pr")
+    got = {r["vid"]: r["pr"] for r in back.collect()}
+    assert set(got) == set(plain)
+    for v in plain:
+        assert abs(got[v] - plain[v]) < 1e-12, (v, got[v], plain[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

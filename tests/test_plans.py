@@ -256,3 +256,37 @@ def test_block_pinned_gather_edge_side_unshuffled(spark, config):
     assert "Exchange" not in edge_branch, plan
     assert "Sort [sblk" not in edge_branch, plan
     sym.unpersist()
+
+
+def test_pagerank_block_pinned_gather_edge_side_unshuffled(spark, config):
+    """PageRank's gather on a with_partitioning graph must consume the
+    block-pinned layout (r7): salted_gather_join's block mode joins the
+    cached HashPartitioning(sblk)/(sblk, src)-sorted edge table on the
+    compound key with zero exchange and zero sort on the edge branch."""
+    edges = edges_powerlaw(400, m=3, seed=2)
+    g = graph_from_numpy(spark, edges, 400)
+    g2, _ = g.with_partitioning("bfs_edge_cut", num_partitions=8)
+
+    from planar_spark.graph.locality import block_pinned_edges
+    from planar_spark.graph.skew import salted_gather_join
+
+    pinned = block_pinned_edges(g2, 8).persist()
+    pinned.count()
+    live = g2.degrees.where(F.col("out_deg") > 0).select(
+        "vid", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    gathered = salted_gather_join(
+        pinned, live, config, hubs=None, block_size=g2.block_size
+    )
+    agg = gathered.groupBy(F.col("dst").alias("vid")).agg(
+        F.sum("w").alias("contrib")
+    )
+    agg.collect()
+    plan = _plan(agg)
+    assert "SortMergeJoin [sblk" in plan, plan
+    i = plan.index("SortMergeJoin [sblk")
+    j = plan.index("TableCacheQueryStage", i)
+    edge_branch = plan[i:j]
+    assert "Exchange" not in edge_branch, plan
+    assert "Sort [sblk" not in edge_branch, plan
+    pinned.unpersist()

@@ -68,15 +68,35 @@ def hits(
     spark = graph.spark
     parts = config.partitions_for(spark)
 
-    fwd = graph.edges  # (src, dst), partitioned+sorted by src, cached
-    # Reversed edges, partitioned and sorted by their own src (= the
-    # forward dst) so the hub-phase gather is a merge join too.
-    rev = (
-        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        .repartition(parts, "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
+    # Layout-aware gathers (r7): on a with_partitioning graph both edge
+    # tables pin by locality block — the reversed table's src is still a
+    # vid, so the same sblk = src div block_size names its block.
+    bs = getattr(graph, "block_size", None)
+    if bs:
+        from planar_spark.graph.locality import block_pinned_edges
+
+        fwd = block_pinned_edges(graph, parts).persist()
+        rev = (
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            .withColumn("sblk", F.expr(f"src div {int(bs)}"))
+            .repartition(parts, "sblk")
+            .sortWithinPartitions("sblk", "src")
+            .persist()
+        )
+    else:
+        fwd = graph.edges  # (src, dst), partitioned+sorted by src, cached
+        # Reversed edges, partitioned and sorted by their own src (= the
+        # forward dst) so the hub-phase gather is a merge join too.
+        rev = (
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            .repartition(parts, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
     # Both hub sets (out-degree for the auth gather, in-degree for the
     # hub gather) ride ONE driver action: union the two tiny filtered
     # sets, observe the per-side counts on the materialization job, and
@@ -132,7 +152,9 @@ def hits(
         live = state.crossJoin(F.broadcast(norm)).select(
             "vid", (F.col(src_col) / F.col("_s")).alias("w")
         )
-        gathered = salted_gather_join(edges, live, config, hubs=hubs)
+        gathered = salted_gather_join(
+            edges, live, config, hubs=None if bs else hubs, block_size=bs
+        )
         contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
             F.sum("w").alias("_c")
         )
@@ -171,6 +193,8 @@ def hits(
         (F.col("auth") / F.col("_as")).alias("auth"),
     )
     rev.unpersist()
+    if bs:
+        fwd.unpersist()
     return SuperstepResult(
         normalized, result.steps_run, result.converged, result.metrics
     )

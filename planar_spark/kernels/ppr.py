@@ -50,9 +50,20 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank requires a non-empty seed set")
     r = 1.0 / n_seeds
 
-    edges = graph.edges
-    hubs_df = hub_vertices(graph.degrees, config.hub_degree_threshold)
-    hubs = hubs_df if hubs_df.limit(1).count() > 0 else None
+    # Layout-aware gather (r7): same block-pinned consumption as
+    # pagerank (kernels/pagerank.py) — the gather is identical in shape
+    parts = config.partitions_for(spark)
+    bs = getattr(graph, "block_size", None)
+    pinned = None
+    if bs:
+        from planar_spark.graph.locality import block_pinned_edges
+
+        pinned = block_pinned_edges(graph, parts).persist()
+        edges, hubs = pinned, None
+    else:
+        edges = graph.edges
+        hubs_df = hub_vertices(graph.degrees, config.hub_degree_threshold)
+        hubs = hubs_df if hubs_df.limit(1).count() > 0 else None
 
     seed_flag = seeds.select("vid").distinct().withColumn("_seed", F.lit(True))
     base = (
@@ -74,7 +85,9 @@ def personalized_pagerank(
         live = state.where(F.col("out_deg") > 0).select(
             "vid", (F.col("ppr") / F.col("out_deg")).alias("w")
         )
-        gathered = salted_gather_join(edges, live, config, hubs=hubs)
+        gathered = salted_gather_join(
+            edges, live, config, hubs=hubs, block_size=bs
+        )
         contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
             F.sum("w").alias("contrib")
         )
@@ -106,4 +119,6 @@ def personalized_pagerank(
     )
     result = engine.run(init_state, step, iters)
     base.unpersist()
+    if pinned is not None:
+        pinned.unpersist()
     return result

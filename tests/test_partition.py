@@ -353,3 +353,53 @@ def test_pagerank_on_locality_layout_matches_plain(spark, config):
     for v in plain:
         assert abs(got[v] - plain[v]) < 1e-12, (v, got[v], plain[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_and_hits_on_locality_layout_match_plain(spark, config):
+    """r7: PPR and HITS consume with_partitioning layouts through the
+    same block-pinned gather as pagerank — results mapped back through
+    the relabel mapping must equal the plain runs."""
+    from pyspark.sql import functions as F
+
+    from planar_spark.kernels.hits import hits
+    from planar_spark.kernels.ppr import personalized_pagerank
+
+    edges = edges_powerlaw(300, m=3, seed=6)
+    g = graph_from_numpy(spark, np.array(edges), 300)
+    g2, mapping = g.with_partitioning("bfs_vertex_cut", num_partitions=8)
+    back = mapping.select(
+        F.col("new_vid").alias("vid"), F.col("vid").alias("ov")
+    )
+
+    seeds = g.vertices.select("vid").where(F.col("vid") % 7 == 0)
+    plain = {
+        r["vid"]: r["ppr"]
+        for r in personalized_pagerank(
+            g, seeds, config, num_iterations=4
+        ).state.collect()
+    }
+    seeds2 = (
+        mapping.join(seeds, "vid").select(F.col("new_vid").alias("vid"))
+    )
+    got = {
+        r["ov"]: r["ppr"]
+        for r in personalized_pagerank(g2, seeds2, config, num_iterations=4)
+        .state.join(back, "vid").select("ov", "ppr").collect()
+    }
+    assert set(got) == set(plain)
+    for v in plain:
+        assert abs(got[v] - plain[v]) < 1e-12, (v, got[v], plain[v])
+
+    plain_h = {
+        r["vid"]: (r["hub"], r["auth"])
+        for r in hits(g, config, num_iterations=3).state.collect()
+    }
+    got_h = {
+        r["ov"]: (r["hub"], r["auth"])
+        for r in hits(g2, config, num_iterations=3)
+        .state.join(back, "vid").select("ov", "hub", "auth").collect()
+    }
+    assert set(got_h) == set(plain_h)
+    for v in plain_h:
+        assert abs(got_h[v][0] - plain_h[v][0]) < 1e-12
+        assert abs(got_h[v][1] - plain_h[v][1]) < 1e-12

@@ -42,16 +42,37 @@ def label_propagation(
     parts = config.partitions_for(spark)
     iters = num_iterations or config.lpa_max_iterations
 
-    sym = graph.symmetric_edges().repartition(parts, "src").persist()
+    # Layout-aware gather (r7): on a with_partitioning graph the sym
+    # table is pinned by locality block and the label join runs on the
+    # compound (sblk, vid) key — same consumption as WCC
+    # (kernels/components.py) and pagerank (graph/skew.py block mode).
+    bs = getattr(graph, "block_size", None)
+    if bs:
+        from planar_spark.graph.locality import block_pinned_sym
+
+        sym = block_pinned_sym(graph, parts).persist()
+    else:
+        sym = graph.symmetric_edges().repartition(parts, "src").persist()
 
     def init_state() -> DataFrame:
         return graph.vertices.select("vid", F.col("vid").alias("label"))
 
     def step(labels: DataFrame, _step: int) -> tuple[DataFrame, dict]:
-        msgs = (
-            sym.join(labels, sym["src"] == labels["vid"])
-            .select(F.col("dst").alias("vid"), "label")
-        )
+        if bs:
+            lab_b = labels.withColumn("vblk", F.expr(f"vid div {int(bs)}"))
+            msgs = (
+                sym.join(
+                    lab_b,
+                    (sym["sblk"] == lab_b["vblk"])
+                    & (sym["src"] == lab_b["vid"]),
+                )
+                .select(F.col("dst").alias("vid"), "label")
+            )
+        else:
+            msgs = (
+                sym.join(labels, sym["src"] == labels["vid"])
+                .select(F.col("dst").alias("vid"), "label")
+            )
         counts = msgs.groupBy("vid", "label").agg(F.count(F.lit(1)).alias("n"))
         # argmax by (count desc, label asc) as a struct-max aggregate:
         # partial-agg-able (map-side combine), so a hub with millions of

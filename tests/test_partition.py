@@ -403,3 +403,54 @@ def test_ppr_and_hits_on_locality_layout_match_plain(spark, config):
     for v in plain_h:
         assert abs(got_h[v][0] - plain_h[v][0]) < 1e-12
         assert abs(got_h[v][1] - plain_h[v][1]) < 1e-12
+
+
+def test_lpa_on_locality_layout_matches_plain(spark, config):
+    """r7: LPA's gather pins by locality block on a with_partitioning
+    graph. LPA labels are vids, so the relabeled run's labels must map
+    back exactly through the mapping: label'(new(v)) == new(label(v))
+    is NOT guaranteed (argmax ties break on label VALUE, which the
+    relabel permutes) — so the check uses a tie-free fixture: disjoint
+    cliques, where every vertex's argmax label is unique per round."""
+    from pyspark.sql import functions as F
+
+    from planar_spark.kernels.lpa import label_propagation
+
+    # 8 disjoint 6-cliques: LPA converges to min-vid per clique and no
+    # round ever has an argmax tie between distinct counts... a clique
+    # IS all-ties on counts (every neighbor label appears once), so the
+    # min-label tie-break decides — and min commutes with the relabel
+    # only if the mapping is monotone per clique. Instead, compare
+    # PARTITION STRUCTURE: the grouping of vertices into equal-label
+    # classes must be identical, which is relabel-invariant.
+    edges = []
+    for c in range(8):
+        base = c * 6
+        for i in range(6):
+            for j in range(6):
+                if i != j:
+                    edges.append((base + i, base + j))
+    g = graph_from_numpy(spark, np.array(edges), 48)
+    g2, mapping = g.with_partitioning("bfs_vertex_cut", num_partitions=4)
+    back = mapping.select(
+        F.col("new_vid").alias("vid"), F.col("vid").alias("ov")
+    )
+
+    plain = {
+        r["vid"]: r["label"]
+        for r in label_propagation(g, config, num_iterations=3).state.collect()
+    }
+    got = {
+        r["ov"]: r["label"]
+        for r in label_propagation(g2, config, num_iterations=3)
+        .state.join(back, "vid").select("ov", "label").collect()
+    }
+    assert set(got) == set(plain)
+
+    def classes(d):
+        inv = {}
+        for v, l in d.items():
+            inv.setdefault(l, set()).add(v)
+        return sorted(tuple(sorted(s)) for s in inv.values())
+
+    assert classes(got) == classes(plain)

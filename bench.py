@@ -401,6 +401,65 @@ def main() -> None:
         extras["betweenness_hub_k16_top100"] = top_overlap(exact_bc, hub)
         extras["betweenness_hub_k16_spearman"] = spearman(exact_bc, hub)
         g_mid.unpersist()
+        # The fold is quasi-random: its bc values are tightly clustered
+        # (statistically near-indistinguishable vertices), so the fold
+        # rows above are the estimator's NOISE FLOOR — random top-100
+        # overlap on 2048 vertices is 0.049. The structured fixture
+        # below (ring of 8 ER communities, bc concentrated on bridges
+        # and well-connected members — the shape web graphs actually
+        # have) is the regime the estimator exists for.
+        import hashlib as _hl
+
+        def _h2(u, v):
+            return int(
+                _hl.md5(f"{u}-{v}".encode()).hexdigest()[:8], 16
+            )
+
+        csize, ncl, pct = 64, 8, 15
+        nring = csize * ncl
+        redges = []
+        for c in range(ncl):
+            rbase = c * csize
+            for a in range(csize):
+                for b in range(a + 1, csize):
+                    if _h2(rbase + a, rbase + b) % 100 < pct:
+                        redges.append((rbase + a, rbase + b))
+                        redges.append((rbase + b, rbase + a))
+            u = rbase + _h2(c, 0) % csize
+            v = ((c + 1) % ncl) * csize + _h2(c, 1) % csize
+            redges.append((u, v))
+            redges.append((v, u))
+        g_ring = GraphTables.from_edges(
+            spark.createDataFrame(redges, schema="src long, dst long"),
+            parts,
+        )
+
+        def bc_vec_ring(df):
+            m = {int(r["vid"]): float(r["bc"]) for r in df.collect()}
+            return _np.array([m.get(v, 0.0) for v in range(nring)])
+
+        t0 = time.time()
+        ring_exact = bc_vec_ring(
+            betweenness(
+                g_ring, sources=list(range(nring)), estimate=False,
+                config=cfg,
+            )
+        )
+        extras["betweenness_ring_exact_sec"] = round(time.time() - t0, 3)
+        for kk in (8, 16, 64):
+            est = bc_vec_ring(
+                betweenness(
+                    g_ring, sources=uniform_sources(g_ring, kk),
+                    estimate=True, config=cfg,
+                )
+            )
+            extras[f"betweenness_ring_k{kk}_top50"] = top_overlap(
+                ring_exact, est, n=50
+            )
+            extras[f"betweenness_ring_k{kk}_spearman"] = spearman(
+                ring_exact, est
+            )
+        g_ring.unpersist()
     except Exception as e:  # noqa: BLE001 — bench must keep going
         extras["betweenness_est_error"] = f"{type(e).__name__}: {e}"
     # Louvain on the derived graph: wall-clock row only — the graph is

@@ -152,6 +152,12 @@ def main() -> None:
                     help="FIXED partition count for both parallelism "
                          "levels (sized to the data, like a cluster job)")
     ap.add_argument("--no-locality", action="store_true")
+    ap.add_argument("--loc-edges", type=int, default=None,
+                    help="edge count for the locality section (default: "
+                         "--edges). The locality layout is ~2x faster "
+                         "per step, so a larger graph keeps its steps "
+                         "long enough that fixed per-step scheduling "
+                         "cost doesn't masquerade as poor scaling.")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -164,8 +170,10 @@ def main() -> None:
     }
     for i in range(args.runs):
         for mode in modes:
+            n_edges = (args.loc_edges if mode == "locality"
+                       and args.loc_edges else args.edges)
             for cores in (8, 32):
-                r = run_once(repo, cores, args.edges, args.iters,
+                r = run_once(repo, cores, n_edges, args.iters,
                              args.parts, mode)
                 results[mode][cores].append(r)
                 print(f"round {i + 1} {mode} local[{cores}]: "

@@ -88,3 +88,32 @@ def test_self_loops_dropped(spark):
     g = build_graph_tables(pages, num_partitions=8)
     assert g.num_edges == 8  # parity with graph_converter.cpp:113
     assert g.edges.where(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_synth_edges_locality_deterministic_and_intra_host(spark):
+    """r7 generator for the scaling bench's locality section: byte-
+    deterministic at any parallelism, and the realized intra-host edge
+    fraction tracks p_intra (Common-Crawl link graphs are ~75-90%
+    intra-host, Meusel et al. 2015)."""
+    from planar_spark.ingest.synthetic import synth_edges_locality
+
+    n_edges, n_v, host = 20_000, 2_000, 100
+    a = synth_edges_locality(
+        spark, n_edges, n_v, host_size=host, p_intra=0.85,
+        num_partitions=4,
+    )
+    b = synth_edges_locality(
+        spark, n_edges, n_v, host_size=host, p_intra=0.85,
+        num_partitions=16,
+    )
+    ra = sorted((r["src"], r["dst"]) for r in a.collect())
+    rb = sorted((r["src"], r["dst"]) for r in b.collect())
+    assert ra == rb  # parallelism-independent determinism
+
+    intra = sum(1 for s, d in ra if s // host == d // host)
+    frac = intra / len(ra)
+    # self-loop and dst>=V filters nudge the realized fraction; the
+    # bound just needs to catch a broken intra/cross branch
+    assert 0.80 <= frac <= 0.90, frac
+    assert all(0 <= s < n_v and 0 <= d < n_v for s, d in ra)
+    assert all(s != d for s, d in ra)

@@ -290,3 +290,40 @@ def test_pagerank_block_pinned_gather_edge_side_unshuffled(spark, config):
     assert "Exchange" not in edge_branch, plan
     assert "Sort [sblk" not in edge_branch, plan
     pinned.unpersist()
+
+
+def test_lpa_block_pinned_gather_edge_side_unshuffled(spark, config):
+    """LPA's gather on a with_partitioning graph (r7) pins the
+    SYMMETRIC edge table by locality block — same contract as WCC:
+    the cached HashPartitioning(sblk)/(sblk, src)-sorted sym table
+    joins the label state on the compound key with zero exchange and
+    zero sort on the edge branch."""
+    edges = edges_powerlaw(400, m=3, seed=3)
+    g = graph_from_numpy(spark, edges, 400)
+    g2, _ = g.with_partitioning("bfs_vertex_cut", num_partitions=8)
+
+    from planar_spark.graph.locality import block_pinned_sym
+
+    sym = block_pinned_sym(g2, 8).hint("merge").persist()
+    sym.count()
+    labels = g2.vertices.select("vid", F.col("vid").alias("label"))
+    lab_b = labels.withColumn(
+        "vblk", F.expr(f"vid div {int(g2.block_size)}")
+    )
+    msgs = (
+        sym.join(
+            lab_b,
+            (sym["sblk"] == lab_b["vblk"]) & (sym["src"] == lab_b["vid"]),
+        )
+        .select(F.col("dst").alias("vid"), "label")
+    )
+    counts = msgs.groupBy("vid", "label").agg(F.count(F.lit(1)).alias("n"))
+    counts.collect()
+    plan = _plan(counts)
+    assert "SortMergeJoin [sblk" in plan, plan
+    i = plan.index("SortMergeJoin [sblk")
+    j = plan.index("TableCacheQueryStage", i)
+    edge_branch = plan[i:j]
+    assert "Exchange" not in edge_branch, plan
+    assert "Sort [sblk" not in edge_branch, plan
+    sym.unpersist()

@@ -150,12 +150,22 @@ class LoopCheckpointer:
             self._store.drop(base)  # fallback: removes the round dir
         return doomed
 
-    def latest(self) -> tuple[int, dict[str, DataFrame], dict] | None:
+    def latest(
+        self, max_round: int | None = None
+    ) -> tuple[int, dict[str, DataFrame], dict] | None:
         """(round, {name: DataFrame}, metrics) of the newest COMPLETED
-        round, or None when nothing durable exists for this run_id."""
+        round, or None when nothing durable exists for this run_id.
+
+        ``max_round`` ignores checkpoints PAST the caller's target: a
+        prior run under the same run_id that checkpointed beyond the
+        requested round (e.g. a larger-radius HyperBall sweep) must not
+        make a smaller-target resume silently return the larger run's
+        state (r7 ADVICE low)."""
         if self._store is None:
             return None
         rounds = self._completed_rounds()
+        if max_round is not None:
+            rounds = [r for r in rounds if r <= max_round]
         if not rounds:
             return None
         best = rounds[-1]

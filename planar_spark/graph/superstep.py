@@ -26,6 +26,7 @@ nvme_update_store.h:138-145). Here:
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 import warnings
@@ -144,6 +145,27 @@ class SuperstepEngine:
         every = max(1, self.config.checkpoint_every)
         return self._store is not None and step % every == 0
 
+    def _dump_plan(self, state: DataFrame, step: int) -> None:
+        """Debug hook: write the superstep's physical plan (formatted
+        explain) to $SPARK_GRAFT_EXPLAIN_DIR/<kernel>_step<k>.txt before
+        materialization. Off unless the env var is set; used to commit
+        the plans/r*/ before/after evidence without touching kernels."""
+        out_dir = os.environ.get("SPARK_GRAFT_EXPLAIN_DIR")
+        if not out_dir:
+            return
+        try:
+            mode = state.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            txt = state._jdf.queryExecution().explainString(mode)
+            os.makedirs(out_dir, exist_ok=True)
+            with open(
+                os.path.join(out_dir, f"{self.kernel}_step{step:03d}.txt"), "w"
+            ) as f:
+                f.write(txt)
+        except Exception:  # noqa: BLE001 — debug-only, never break a run
+            pass
+
     def _persist_state(self, state: DataFrame, step: int) -> DataFrame:
         """Materialize the superstep's state and cut lineage.
 
@@ -154,6 +176,7 @@ class SuperstepEngine:
         exchange per superstep. Lineage is still truncated with a
         localCheckpoint every ``cache_truncate_every`` steps.
         """
+        self._dump_plan(state, step)
         if self._should_checkpoint(step):
             name = f"{self._step_name(step)}/state"
             self._store.write(state, name)

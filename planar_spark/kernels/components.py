@@ -113,8 +113,12 @@ def connected_components(
             )
         if result.converged:
             return result
+        # resume must ride the fallback too: auto is the production
+        # default, and a resume=True retry that restarts the Boruvka
+        # phase from scratch silently defeats the run_id plumbing
+        # (r7 ADVICE medium).
         return connected_components(
-            graph, config, algorithm="boruvka", run_id=run_id
+            graph, config, algorithm="boruvka", run_id=run_id, resume=resume
         )
     if algorithm == "boruvka":
         from planar_spark.kernels.mst import boruvka_msf

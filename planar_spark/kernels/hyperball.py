@@ -304,7 +304,7 @@ def hyperball(
     state = None
     start_r = 0
     if resume:
-        latest = ckpt.latest()
+        latest = ckpt.latest(max_round=radius)
         if latest is not None:
             start_r, tables, _mm = latest
             state = releaf(
@@ -409,7 +409,7 @@ def hyperball_nf_profile(
     profile: list[tuple[int, float]] = []
     round_secs: list[float] = []
     if resume:
-        latest = ckpt.latest()
+        latest = ckpt.latest(max_round=radius)
         if latest is not None:
             start_r, tables, mm = latest
             state = releaf(
@@ -588,7 +588,7 @@ def hyperball_centralities(
     state = None
     start_r = 0
     if resume:
-        latest = ckpt.latest()
+        latest = ckpt.latest(max_round=radius)
         if latest is not None:
             start_r, tables, _mm = latest
             state = releaf(

@@ -74,7 +74,21 @@ def _move_gate(vid_col, rnd: int):
     geometrically instead of locking in the way a fixed split would.
     """
     pair = (rnd + 1) // 2
-    hi = ((vid_col * _H_A + F.lit(pair) * _H_B) % _H_MOD) >= (1 << 31)
+    # Overflow-safe (vid * _H_A + pair * _H_B) mod 2^32 for ANY int64
+    # vid (r7 ADVICE low): the direct product overflows int64 at
+    # vid ≳ 3.47e9 — wrapping negative in non-ANSI mode (gate class
+    # frozen for all such vertices) and raising under ANSI. 16-bit limb
+    # decomposition of vid mod 2^32 keeps every intermediate < 2^49:
+    # identical values to the direct product wherever it is exact
+    # (all test/oracle vids), exact everywhere else.
+    v32 = F.pmod(vid_col, F.lit(_H_MOD))
+    h16 = F.shiftright(v32, 16)
+    l16 = v32.bitwiseAND(F.lit(0xFFFF))
+    prod = F.pmod(
+        F.pmod(h16 * _H_A, F.lit(_H_MOD)) * F.lit(1 << 16) + l16 * _H_A,
+        F.lit(_H_MOD),
+    )
+    hi = F.pmod(prod + F.lit(pair) * _H_B, F.lit(_H_MOD)) >= (1 << 31)
     return hi if rnd % 2 == 1 else ~hi
 
 

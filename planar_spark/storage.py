@@ -305,12 +305,17 @@ class TableStore:
         write_meta, called BEFORE its tables are deleted so a crash
         mid-retention can never leave a completed marker pointing at
         half-deleted tables. Fallback: remove ``_META.json``; Iceberg:
-        append a ``completed: false`` tombstone row (read_meta returns
-        the newest row, so the tombstone shadows the old marker)."""
+        DELETE the name's rows (an atomic Iceberg commit). Physical
+        deletion — not a tombstone append — keeps the _meta table and
+        every list_meta_names scan bounded by the LIVE rounds instead
+        of growing with every round ever written (r7 ADVICE medium:
+        per-batch streaming-WCC maintenance cost must not scale with
+        run age)."""
         if self.catalog:
-            old = self.read_meta(name) or {}
-            self.write_meta(
-                name, {**old, "completed": False, "pruned": True}
+            ident = self._ident("_meta")
+            safe = name.replace("'", "''")
+            self.spark.sql(
+                f"DELETE FROM {ident} WHERE name = '{safe}'"
             )
             return
         p = os.path.join(self._path(name), "_META.json")
@@ -318,7 +323,13 @@ class TableStore:
             os.remove(p)
 
     def list_meta_names(self, prefix: str) -> list[str]:
-        """Names of all completed markers under ``prefix``."""
+        """Names of all completed markers under ``prefix``.
+
+        Catalog mode resolves the newest row per name and its completed
+        flag in ONE Spark job (max_by over wall_ts) — callers like
+        LoopCheckpointer._completed_rounds previously paid one read_meta
+        job per name ever written; now a retracted/incomplete name is
+        never listed, matching the filesystem fallback's semantics."""
         if self.catalog:
             from pyspark.sql import functions as F
 
@@ -326,13 +337,17 @@ class TableStore:
                 rows = (
                     self.read("_meta")
                     .where(F.col("name").startswith(prefix))
-                    .select("name")
-                    .distinct()
+                    .groupBy("name")
+                    .agg(F.max_by("meta_json", "wall_ts").alias("mj"))
                     .collect()
                 )
             except Exception:
                 return []
-            return [r["name"] for r in rows]
+            return [
+                r["name"]
+                for r in rows
+                if json.loads(r["mj"]).get("completed", False)
+            ]
         base = self._path(prefix)
         if not os.path.isdir(base):
             return []

@@ -15,16 +15,28 @@ Each superstep:
     m      = frontier ⋈_{vid==src} edges → distinct dst     (small)
     state' = state left⋈ m : dist' = k where dist==INF and hit
 
-Scale shape: the state stays hash-partitioned by vid across rounds
-because it is CACHE-persisted (InMemoryRelation preserves output
-partitioning; a localCheckpoint degrades it to UnknownPartitioning —
-see config.py), so the per-round shuffle is O(|frontier neighborhood|)
-— only ``m`` is exchanged, never the O(V) state (asserted in
-tests/test_plans.py). The frontier is broadcast when small
-(maybe_broadcast) — the analogue of the reference's active-bitmap scan
-skipping (core/apis/planar_app_base.h:167-205). The frontier size is
-observed on the frontier checkpoint job, so a superstep is exactly two
-driver actions: state materialization + frontier cut.
+Scale shape (r8 restructure): the state is cut to a FLAT LEAF every
+round (releaf'd localCheckpoint), so the logical plan — and with it the
+per-round analyzer/CacheManager cost — is CONSTANT-SIZE across rounds.
+The previous cache-mode design kept the state's hash partitioning but
+nested each round's plan inside the next (InMemoryRelation lineage):
+measured on the sf0.1 bench graph, per-round wall time climbed
+0.5s → 2.2s by round 8 purely from driver-side plan work, then reset
+at the lineage truncation. With a leaf state the join against the
+(broadcast) newly-reached set ``m`` is a BroadcastHashJoin over the
+leaf scan — zero exchanges per round, flat per-round cost (plan
+asserted in tests/test_plans.py). Rows stay physically hash(vid)-
+distributed (the init repartition; every later op is narrow), so a
+round whose frontier outgrows the broadcast threshold pays one
+ENSURE_REQUIREMENTS exchange of the state — the explicit trade against
+the old design's unbounded driver cost growth.
+
+The frontier is never materialized: it is a lazy filter
+(dist == k-1) over the ALREADY-materialized state leaf, broadcast when
+small (maybe_broadcast) — the analogue of the reference's active-
+bitmap scan skipping (core/apis/planar_app_base.h:167-205). Its size
+rides the state materialization job as an Observation, so a superstep
+is exactly ONE driver action (was two: state + frontier cut).
 """
 
 from __future__ import annotations
@@ -48,20 +60,7 @@ def bfs_sssp(
     resume: bool = False,
 ) -> SuperstepResult:
     """Returns state (vid, dist) over ALL vertices; unreached = INF."""
-    import dataclasses
-
     config = config or EngineConfig()
-    # Cache-mode state: the vid-partitioned dist table joins the (small)
-    # newly-reached set each round WITHOUT an O(V) exchange — cached
-    # plans keep their hash partitioning, localCheckpoints do not.
-    config = dataclasses.replace(config, state_persist="cache")
-    if engine is not None:
-        # An externally-supplied engine (the spark-submit job path) was
-        # built with the caller's config — force cache-mode state there
-        # too, or the per-round O(V) exchange silently comes back.
-        engine.config = dataclasses.replace(
-            engine.config, state_persist="cache"
-        )
     spark = graph.spark
     parts = config.partitions_for(spark)
     edges = graph.edges
@@ -78,14 +77,14 @@ def bfs_sssp(
             .repartition(parts, "vid")
         )
 
-    # The frontier is carried as a SEPARATE tiny localCheckpointed leaf,
-    # not re-derived from the state inside step_fn: deriving it there
-    # would make each round's logical plan reference the previous state
-    # twice (left side + frontier), doubling the tree per round —
-    # exponential analyzer cost. With a leaf frontier the state plan
-    # grows one join per round and is truncated every
-    # cache_truncate_every steps.
-    carry: dict = {"frontier": None, "size": 1}
+    # The frontier is a LAZY filter over the previous round's
+    # materialized state LEAF — referencing a leaf twice per round keeps
+    # the plan constant-size (referencing a non-leaf state plan twice
+    # would double the tree per round: exponential analyzer cost, the
+    # reason the old design paid a second materialization job for a
+    # standalone frontier leaf). Its row count rides the state
+    # materialization job as an Observation.
+    carry: dict = {"size": 1}
 
     engine = engine or SuperstepEngine(
         spark, config, "sssp",
@@ -100,54 +99,49 @@ def bfs_sssp(
             carry["size"] = latest[2].get("frontier_size")
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
-        frontier = carry["frontier"]
-        if frontier is None:  # first step of a fresh or resumed run
-            frontier = (
-                state.where(F.col("dist") == k - 1)
-                .select("vid")
-                .localCheckpoint(eager=True)
-            )
-        frontier = maybe_broadcast(frontier, config, carry["size"])
+        from pyspark.sql import Observation
+
+        frontier = maybe_broadcast(
+            state.where(F.col("dist") == k - 1).select("vid"),
+            config,
+            carry["size"],
+        )
         m = (
             edges.join(frontier, edges["src"] == frontier["vid"], "left_semi")
             .select(F.col("dst").alias("vid"))
             .distinct()
             .withColumn("_hit", F.lit(True))
         )
-        new = state.join(m, "vid", "left").select(
-            "vid",
-            F.when(
-                (F.col("dist") >= INF) & F.col("_hit").isNotNull(), F.lit(k)
-            )
-            .otherwise(F.col("dist"))
-            .cast("long")
-            .alias("dist"),
-        )
-        return new, {}
-
-    def post(old: DataFrame, new: DataFrame, k: int) -> dict:
-        # next round's frontier: the rows set to k this round — a tiny
-        # leaf cut from the (already materialized) new state. Its size
-        # is observed on the same checkpoint job (no standalone count).
-        from pyspark.sql import Observation
-
         obs = Observation()
-        frontier = (
-            new.where(F.col("dist") == k)
-            .select("vid")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+        new = (
+            state.join(m, "vid", "left")
+            .select(
+                "vid",
+                F.when(
+                    (F.col("dist") >= INF) & F.col("_hit").isNotNull(),
+                    F.lit(k),
+                )
+                .otherwise(F.col("dist"))
+                .cast("long")
+                .alias("dist"),
+            )
+            .observe(
+                obs,
+                F.sum((F.col("dist") == k).cast("long")).alias(
+                    "frontier_size"
+                ),
+            )
         )
-        n = int(obs.get["n"])
-        carry["frontier"] = frontier
-        carry["size"] = n
-        return {"frontier_size": n}
+        return new, {"_obs": obs}
 
     def converged(metrics: dict) -> bool:
-        return metrics.get("frontier_size", -1) == 0
+        n = metrics.get("frontier_size")
+        n = int(n or 0)
+        carry["size"] = n
+        return n == 0
 
     return engine.run(
-        init_state, step, max_iterations, converged, post_fn=post, resume=resume
+        init_state, step, max_iterations, converged, resume=resume
     )
 
 
@@ -169,18 +163,16 @@ def weighted_sssp(
 
     ``weights``: (src, dst, w) with non-negative weights, defaulting to
     hop weight 1 (== BFS levels). Algorithm is frontier Bellman-Ford on
-    the SuperstepEngine, structured exactly like bfs_sssp:
+    the SuperstepEngine, structured exactly like bfs_sssp (r8 flat-leaf
+    restructure — see bfs_sssp's module note for the measured driver-
+    cost argument):
 
-    - cache-mode state (vid, dist, _imp): InMemoryRelation preserves
-      the vid hash-partitioning, so the O(V) state streams into each
-      round's merge join un-exchanged;
-    - the improved set (the Bellman-Ford frontier) is cut as a SEPARATE
-      tiny localCheckpointed LEAF in post() with its size observed on
-      the cut job — deriving it from the state inside step_fn would
-      make each round's plan reference the previous state twice and
-      double the logical tree per round (exponential analyzer cost;
-      measured: minutes per run vs seconds — see bfs_sssp's module
-      note);
+    - the state (vid, dist, _imp) is cut to a flat LEAF every round, so
+      per-round plan/analyzer cost is constant across rounds;
+    - the improved set (the Bellman-Ford frontier, ``_imp == 1``) is a
+      LAZY filter over that leaf — never separately materialized — with
+      its row count observed on the state materialization job: one
+      driver action per round (was two);
     - round r relaxes only edges out of round r-1's improved set, so
       per-round shuffle volume is O(improved-set edges) after the
       first relax; the frontier broadcasts when small.
@@ -194,14 +186,7 @@ def weighted_sssp(
     frontier with a small size seed could force-broadcast the whole
     state). Terminates at the exact fixpoint; raises if ``max_rounds``
     is exhausted first."""
-    import dataclasses
-
     config = config or EngineConfig()
-    config = dataclasses.replace(config, state_persist="cache")
-    if engine is not None:
-        engine.config = dataclasses.replace(
-            engine.config, state_persist="cache"
-        )
     spark = graph.spark
     parts = config.partitions_for(spark)
     ew = (
@@ -221,7 +206,7 @@ def weighted_sssp(
             (F.col("vid") == int(source)).cast("long").alias("_imp"),
         ).repartition(parts, "vid")
 
-    carry: dict = {"frontier": None, "size": 1}
+    carry: dict = {"size": 1}
 
     engine = engine or SuperstepEngine(
         spark, config, "weighted_sssp",
@@ -233,17 +218,13 @@ def weighted_sssp(
             carry["size"] = latest[2].get("improved")
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
-        frontier = carry["frontier"]
-        if frontier is None:  # first step of a fresh or resumed run:
-            # the exact Bellman-Ford frontier is the _imp==1 set (the
-            # source on a fresh init; the last completed round's
-            # improved set on resume — matching the checkpointed
-            # 'improved' metric that seeded carry['size'])
-            frontier = (
-                state.where(F.col("_imp") == 1)
-                .select("vid", "dist")
-                .localCheckpoint(eager=True)
-            )
+        from pyspark.sql import Observation
+
+        # the exact Bellman-Ford frontier is the _imp==1 set of the
+        # materialized leaf (the source on a fresh init; the last
+        # completed round's improved set on resume — matching the
+        # checkpointed 'improved' metric that seeded carry['size'])
+        frontier = state.where(F.col("_imp") == 1).select("vid", "dist")
         relax = (
             ew.join(
                 maybe_broadcast(
@@ -259,35 +240,28 @@ def weighted_sssp(
             .agg(F.min(F.col("ds") + F.col("w")).alias("cand"))
         )
         improved = F.col("cand").isNotNull() & (F.col("cand") < F.col("dist"))
-        new = state.select("vid", "dist").join(relax, "vid", "left").select(
-            "vid",
-            F.when(improved, F.col("cand")).otherwise(F.col("dist")).alias(
-                "dist"
-            ),
-            improved.cast("long").alias("_imp"),
-        )
-        return new, {}
-
-    def post(old: DataFrame, new: DataFrame, k: int) -> dict:
-        from pyspark.sql import Observation
-
         obs = Observation()
-        frontier = (
-            new.where(F.col("_imp") == 1)
-            .select("vid", "dist")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+        new = (
+            state.select("vid", "dist")
+            .join(relax, "vid", "left")
+            .select(
+                "vid",
+                F.when(improved, F.col("cand"))
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+                improved.cast("long").alias("_imp"),
+            )
+            .observe(obs, F.sum("_imp").alias("improved"))
         )
-        n = int(obs.get["n"])
-        carry["frontier"] = frontier
-        carry["size"] = n
-        return {"improved": n}
+        return new, {"_obs": obs}
 
     def converged(metrics: dict) -> bool:
-        return metrics.get("improved", -1) == 0
+        n = int(metrics.get("improved") or 0)
+        carry["size"] = n
+        return n == 0
 
     result = engine.run(
-        init_state, step, max_rounds, converged, post_fn=post, resume=resume
+        init_state, step, max_rounds, converged, resume=resume
     )
     ew.unpersist()
     if not result.converged:

@@ -114,20 +114,38 @@ def test_lpa_and_random_walk_have_no_window(spark, config):
 
 
 def test_sssp_state_not_reshuffled_per_round(spark, config):
-    """Per BFS round the O(V) dist state must stream from cache into the
-    join un-exchanged; only the O(frontier) newly-reached set moves.
-    (Cache-mode state: InMemoryRelation preserves hash partitioning.)"""
+    """Per BFS round the O(V) dist state must stream into the join
+    un-exchanged; only the O(frontier) newly-reached set moves. (r8
+    flat-leaf state: the previous round's state is a releaf'd
+    localCheckpoint leaf, and the newly-reached set joins it as the
+    broadcast build side — the state branch is a bare leaf scan.)"""
     from planar_spark.kernels.sssp import bfs_sssp
+
+    import os
 
     edges = edges_powerlaw(400, m=3, seed=5)
     g = graph_from_numpy(spark, edges, 400)
-    r = bfs_sssp(g, 7, config)
-    plan = _plan(r.state)
-    # The last superstep's join: its left (state) branch is the cached
-    # previous state — no Exchange may sit between the join node and the
-    # cache scan. The broadcast build side prints after the state branch.
-    i = plan.index("Join [vid")
-    j = plan.index("TableCacheQueryStage", i)
+    # The returned state is itself a leaf (flat-leaf design), so the
+    # per-superstep plan is captured via the engine's explain hook.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        os.environ["SPARK_GRAFT_EXPLAIN_DIR"] = d
+        try:
+            bfs_sssp(g, 7, config)
+        finally:
+            os.environ.pop("SPARK_GRAFT_EXPLAIN_DIR", None)
+        steps = sorted(
+            f for f in os.listdir(d) if f.startswith("sssp_step")
+        )
+        assert len(steps) >= 2, steps
+        with open(os.path.join(d, steps[-1])) as f:
+            plan = f.read()
+    # The superstep join: its left (state) branch is the previous state
+    # leaf — no Exchange may sit between the join node and the leaf
+    # scan. The broadcast build side prints after the state branch.
+    i = plan.index("Join LeftOuter")
+    j = plan.index("Scan ExistingRDD", i)
     assert "Exchange" not in plan[i:j], plan[i : j + 200]
 
 

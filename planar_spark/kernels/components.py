@@ -181,8 +181,18 @@ def connected_components(
 
         edge_state = {"sym": block_pinned_sym(graph, parts).persist()}
     else:
+        # sorted WITHIN the cache (r8): the per-round gather rides the
+        # merge-join fast path — partitioning AND ordering come from the
+        # cache, so neither an exchange, nor a per-round sort, nor the
+        # pathological alternative AQE picked before (broadcasting the
+        # whole O(E) sym table as the build side every superstep,
+        # because the releaf'd label leaf reports default stats) touches
+        # the edge side. Same discipline as GraphTables.from_edges.
         edge_state = {
-            "sym": graph.symmetric_edges().repartition(parts, "src").persist()
+            "sym": graph.symmetric_edges()
+            .repartition(parts, "src")
+            .sortWithinPartitions("src")
+            .persist()
         }
 
     def init_state() -> DataFrame:
@@ -233,21 +243,11 @@ def connected_components(
             )
             sym.unpersist()
             edge_state["sym"] = sym = shrunk
-        if bs:
-            lab_b = labels.withColumn("vblk", F.expr(f"vid div {int(bs)}"))
-            msgs = (
-                sym.join(
-                    lab_b,
-                    (sym["sblk"] == lab_b["vblk"])
-                    & (sym["src"] == lab_b["vid"]),
-                )
-                .select(F.col("dst").alias("vid"), "label")
-            )
-        else:
-            msgs = (
-                sym.join(labels, sym["src"] == labels["vid"])
-                .select(F.col("dst").alias("vid"), "label")
-            )
+        from planar_spark.graph.skew import salted_gather_join
+
+        msgs = salted_gather_join(
+            sym, labels, config, hubs=None, block_size=bs
+        ).select(F.col("dst").alias("vid"), "label")
         min_nbr = msgs.groupBy("vid").agg(F.min("label").alias("nbr_min"))
         new = (
             labels.join(min_nbr, "vid", "left")
@@ -259,7 +259,17 @@ def connected_components(
             )
         )
         if pointer_jumping:
-            parent = new.select(
+            # Jump through the PREVIOUS round's labels (the materialized
+            # leaf), not the in-flight ``new`` plan (r8): a self-join of
+            # ``new`` duplicated the whole gather+agg subtree on both
+            # join sides — every superstep executed the hash-min
+            # exchange twice. old_label(x) <= x and stays within x's
+            # component, so label'(v) = old_label(new(v)) is still
+            # monotone non-increasing with the same fixpoint (component
+            # min), and the label-sum termination proof is unchanged;
+            # the jump is one round staler, which costs at most one
+            # extra (now half-priced) superstep on deep chains.
+            parent = labels.select(
                 F.col("vid").alias("p_vid"), F.col("label").alias("p_label")
             )
             new = (

@@ -52,27 +52,27 @@ def label_propagation(
 
         sym = block_pinned_sym(graph, parts).persist()
     else:
-        sym = graph.symmetric_edges().repartition(parts, "src").persist()
+        # sorted within the cache + merge-hinted gather (r8): same
+        # zero-exchange/zero-sort edge side as WCC (components.py) —
+        # without the hint AQE broadcast the whole O(E) sym table as
+        # the build side every round (the label leaf reports default
+        # stats after releaf).
+        sym = (
+            graph.symmetric_edges()
+            .repartition(parts, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
 
     def init_state() -> DataFrame:
         return graph.vertices.select("vid", F.col("vid").alias("label"))
 
     def step(labels: DataFrame, _step: int) -> tuple[DataFrame, dict]:
-        if bs:
-            lab_b = labels.withColumn("vblk", F.expr(f"vid div {int(bs)}"))
-            msgs = (
-                sym.join(
-                    lab_b,
-                    (sym["sblk"] == lab_b["vblk"])
-                    & (sym["src"] == lab_b["vid"]),
-                )
-                .select(F.col("dst").alias("vid"), "label")
-            )
-        else:
-            msgs = (
-                sym.join(labels, sym["src"] == labels["vid"])
-                .select(F.col("dst").alias("vid"), "label")
-            )
+        from planar_spark.graph.skew import salted_gather_join
+
+        msgs = salted_gather_join(
+            sym, labels, config, hubs=None, block_size=bs
+        ).select(F.col("dst").alias("vid"), "label")
         counts = msgs.groupBy("vid", "label").agg(F.count(F.lit(1)).alias("n"))
         # argmax by (count desc, label asc) as a struct-max aggregate:
         # partial-agg-able (map-side combine), so a hub with millions of

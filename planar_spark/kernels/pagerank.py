@@ -88,18 +88,44 @@ def pagerank(
         hubs = hubs_df if hubs_df.limit(1).count() > 0 else None
     base = graph.degrees  # (vid, out_deg), partitioned by vid
 
+    from pyspark.sql import Observation
+
+    # Dangling mass rides every state MATERIALIZATION as an Observation
+    # (r8): the old design folded a 1-row aggregate over the previous
+    # state into each superstep plan (scan + 2 agg stages + a broadcast
+    # exchange per step). The sum over the SAME materialized rows is
+    # available driver-side for free on the job that produced them —
+    # the [[observation-metrics-trick]] discipline — so the next step
+    # inlines it as a literal. Value-identical modulo FP partial-sum
+    # order, which was already nondeterministic in the in-plan form.
+    carry: dict = {"dm_obs": None, "dm": None}
+    _DM = F.sum(F.when(F.col("out_deg") == 0, F.col("pr"))).alias("_dm")
+
+    def _observed(df: DataFrame) -> DataFrame:
+        obs = Observation()
+        carry["dm_obs"] = obs
+        return df.observe(obs, _DM)
+
+    def _dm_value() -> float | None:
+        obs = carry.pop("dm_obs", None)
+        if obs is not None:
+            carry["dm"] = float(obs.get["_dm"] or 0.0)
+        return carry["dm"]
+
     def init_state() -> DataFrame:
         if init_ranks is not None:
-            return base.join(
-                init_ranks.select("vid", F.col("pr").alias("_pr0")),
-                "vid",
-                "left",
-            ).select(
-                "vid",
-                "out_deg",
-                F.coalesce("_pr0", F.lit(1.0 / n)).alias("pr"),
+            return _observed(
+                base.join(
+                    init_ranks.select("vid", F.col("pr").alias("_pr0")),
+                    "vid",
+                    "left",
+                ).select(
+                    "vid",
+                    "out_deg",
+                    F.coalesce("_pr0", F.lit(1.0 / n)).alias("pr"),
+                )
             )
-        return base.withColumn("pr", F.lit(1.0 / n))
+        return _observed(base.withColumn("pr", F.lit(1.0 / n)))
 
     def step(state: DataFrame, _step: int) -> tuple[DataFrame, dict]:
         live = state.where(F.col("out_deg") > 0).select(
@@ -111,28 +137,31 @@ def pagerank(
         contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
             F.sum("w").alias("contrib")
         )
-        # Dangling mass: a 1-row aggregate over the (cached) previous
-        # state, folded INTO the superstep plan as a broadcast nested-
-        # loop join. Keeping it in-plan (vs .collect() + literal) removes
-        # one driver round-trip/job per superstep — exactly the serial
-        # fraction that caps scaling efficiency at high parallelism.
-        dm_df = (
-            state.where(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
-        )
+        dm = _dm_value()
+        if dm is not None:
+            dm_col = F.lit(dm)
+            attach = lambda df: df  # noqa: E731
+        else:
+            # resumed run whose checkpoint predates the dm observation:
+            # fall back to the in-plan 1-row aggregate for THIS step
+            dm_df = state.where(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
+            )
+            dm_col = F.col("_dm")
+            attach = lambda df: df.crossJoin(F.broadcast(dm_df))  # noqa: E731
         pr_expr = (
             F.lit((1.0 - d) / n)
             + F.lit(d)
             * (
                 F.coalesce(F.col("contrib"), F.lit(0.0))
-                + F.col("_dm") / F.lit(float(n))
+                + dm_col / F.lit(float(n))
             )
         ).alias("pr")
         if config.tolerance <= 0:
-            new_state = (
-                base.join(contribs, "vid", "left")
-                .crossJoin(F.broadcast(dm_df))
-                .select("vid", "out_deg", pr_expr)
+            new_state = _observed(
+                attach(base.join(contribs, "vid", "left")).select(
+                    "vid", "out_deg", pr_expr
+                )
             )
             # no trailing repartition: the base⋈contribs join already
             # leaves the state hash-partitioned by vid
@@ -141,13 +170,12 @@ def pagerank(
         # carries pr) so the L1 delta is OBSERVED on the state plan —
         # the convergence metric rides the materialization job instead
         # of a standalone old⋈new aggregate job per superstep.
-        from pyspark.sql import Observation
-
         obs = Observation()
-        new_state = (
-            state.select("vid", "out_deg", F.col("pr").alias("_pr_old"))
-            .join(contribs, "vid", "left")
-            .crossJoin(F.broadcast(dm_df))
+        new_state = _observed(
+            attach(
+                state.select("vid", "out_deg", F.col("pr").alias("_pr_old"))
+                .join(contribs, "vid", "left")
+            )
             .select("vid", "out_deg", pr_expr, "_pr_old")
             .observe(
                 obs,

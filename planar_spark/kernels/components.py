@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from planar_spark.config import EngineConfig
+from planar_spark.graph.skew import salted_gather_join
 from planar_spark.graph.superstep import SuperstepEngine, SuperstepResult
 from planar_spark.graph.tables import GraphTables
 
@@ -209,10 +210,20 @@ def connected_components(
         m1 = sym.groupBy(F.col("src").alias("vid")).agg(
             F.min("dst").alias("n1")
         )
-        mid = m1.select(F.col("vid").alias("mid"), F.col("n1").alias("mid_min"))
+        # m2(v) = min over neighbors u of m1(u). The edge set is
+        # symmetric, so gathering m1 ALONG each edge (join on src, the
+        # cache's partition+sort key — zero exchange on the edge side)
+        # and aggregating by dst is the same set of (v, m1(u)) pairs as
+        # the old join on dst, without re-shuffling the O(E) table.
         m2 = (
-            sym.join(mid, sym["dst"] == mid["mid"])
-            .groupBy(F.col("src").alias("vid"))
+            salted_gather_join(
+                sym,
+                m1.select("vid", F.col("n1").alias("mid_min")),
+                config,
+                hubs=None,
+                block_size=bs,
+            )
+            .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("mid_min").alias("n2"))
         )
         return (
@@ -243,8 +254,6 @@ def connected_components(
             )
             sym.unpersist()
             edge_state["sym"] = sym = shrunk
-        from planar_spark.graph.skew import salted_gather_join
-
         msgs = salted_gather_join(
             sym, labels, config, hubs=None, block_size=bs
         ).select(F.col("dst").alias("vid"), "label")

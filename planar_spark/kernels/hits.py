@@ -141,24 +141,56 @@ def hits(
 
     base = graph.degrees.select("vid")  # one row per vertex, vid-partitioned
 
+    # Both column sums ride every state materialization as an
+    # Observation and the next phase inlines its normalizer as a
+    # literal — same r8 restructure as pagerank's dangling mass (the
+    # old in-plan 1-row aggregate cost a state scan + 2 agg stages + a
+    # broadcast per phase; values identical modulo FP partial-sum
+    # order, already nondeterministic before).
+    carry: dict = {"obs": None}
+
+    def _observed(df: DataFrame) -> DataFrame:
+        obs = Observation()
+        carry["obs"] = obs
+        return df.observe(
+            obs, F.sum("hub").alias("_hs"), F.sum("auth").alias("_as")
+        )
+
+    def _sums() -> tuple[float, float] | None:
+        obs = carry.get("obs")
+        if obs is None:
+            return None  # resumed from a pre-observation checkpoint
+        got = obs.get
+        return float(got["_hs"] or 0.0), float(got["_as"] or 0.0)
+
     def init_state() -> DataFrame:
-        return base.select(
-            "vid", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")
+        return _observed(
+            base.select(
+                "vid", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")
+            )
         )
 
     def _gather(state, src_col, dst_col, edges, hubs, keep):
-        """Normalize state[src_col] in-plan, gather, return full state."""
-        norm = state.agg(F.sum(src_col).alias("_s"))
-        live = state.crossJoin(F.broadcast(norm)).select(
-            "vid", (F.col(src_col) / F.col("_s")).alias("w")
-        )
+        """Normalize state[src_col] by the carried sum, gather, return
+        the full state."""
+        sums = _sums()
+        if sums is not None:
+            s_col = F.lit(sums[0] if src_col == "hub" else sums[1])
+            live = state.select(
+                "vid", (F.col(src_col) / s_col).alias("w")
+            )
+        else:
+            norm = state.agg(F.sum(src_col).alias("_s"))
+            live = state.crossJoin(F.broadcast(norm)).select(
+                "vid", (F.col(src_col) / F.col("_s")).alias("w")
+            )
         gathered = salted_gather_join(
             edges, live, config, hubs=None if bs else hubs, block_size=bs
         )
         contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
             F.sum("w").alias("_c")
         )
-        return (
+        return _observed(
             state.select("vid", keep)
             .join(contribs, "vid", "left")
             .select(
@@ -183,15 +215,24 @@ def hits(
         lineage={"num_vertices": graph.num_vertices, "num_edges": graph.num_edges},
     )
     result = engine.run(init_state, step, 2 * num_iterations, resume=resume)
-    # Final one-shot L1 normalization, folded into the result plan.
-    sums = result.state.agg(
-        F.sum("hub").alias("_hs"), F.sum("auth").alias("_as")
-    )
-    normalized = result.state.crossJoin(F.broadcast(sums)).select(
-        "vid",
-        (F.col("hub") / F.col("_hs")).alias("hub"),
-        (F.col("auth") / F.col("_as")).alias("auth"),
-    )
+    # Final one-shot L1 normalization; the final state's sums were
+    # observed on its own materialization, so they fold in as literals.
+    fsums = _sums()
+    if fsums is not None:
+        normalized = result.state.select(
+            "vid",
+            (F.col("hub") / F.lit(fsums[0])).alias("hub"),
+            (F.col("auth") / F.lit(fsums[1])).alias("auth"),
+        )
+    else:
+        sums = result.state.agg(
+            F.sum("hub").alias("_hs"), F.sum("auth").alias("_as")
+        )
+        normalized = result.state.crossJoin(F.broadcast(sums)).select(
+            "vid",
+            (F.col("hub") / F.col("_hs")).alias("hub"),
+            (F.col("auth") / F.col("_as")).alias("auth"),
+        )
     rev.unpersist()
     if bs:
         fwd.unpersist()

@@ -78,8 +78,22 @@ def personalized_pagerank(
         .persist()
     )
 
+    from pyspark.sql import Observation
+
+    # Dangling mass rides each state materialization as an Observation
+    # and is inlined as a literal in the next step's plan — same r8
+    # restructure as kernels/pagerank.py (value-identical modulo FP
+    # partial-sum order, already nondeterministic in the in-plan form).
+    carry: dict = {"dm_obs": None}
+    _DM = F.sum(F.when(F.col("out_deg") == 0, F.col("ppr"))).alias("_dm")
+
+    def _observed(df: DataFrame) -> DataFrame:
+        obs = Observation()
+        carry["dm_obs"] = obs
+        return df.observe(obs, _DM)
+
     def init_state() -> DataFrame:
-        return base.withColumn("ppr", F.col("reset"))
+        return _observed(base.withColumn("ppr", F.col("reset")))
 
     def step(state: DataFrame, _k: int) -> tuple[DataFrame, dict]:
         live = state.where(F.col("out_deg") > 0).select(
@@ -91,13 +105,9 @@ def personalized_pagerank(
         contribs = gathered.groupBy(F.col("dst").alias("vid")).agg(
             F.sum("w").alias("contrib")
         )
-        dm_df = state.where(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("ppr"), F.lit(0.0)).alias("_dm")
-        )
-        new_state = (
-            base.join(contribs, "vid", "left")
-            .crossJoin(F.broadcast(dm_df))
-            .select(
+        dm = float(carry["dm_obs"].get["_dm"] or 0.0)
+        new_state = _observed(
+            base.join(contribs, "vid", "left").select(
                 "vid",
                 "out_deg",
                 "reset",
@@ -106,7 +116,7 @@ def personalized_pagerank(
                     + F.lit(d)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("_dm") * F.col("reset")
+                        + F.lit(dm) * F.col("reset")
                     )
                 ).alias("ppr"),
             )

@@ -1854,12 +1854,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (salted_gather_join block mode, zero edge-side exchange) ->
         results mapped back through the relabel mapping. Must
         hash-match the SAME 5-iteration unrolled SQL as the plain
-        pagerank gate — the layout changes the physical plan only."""
+        pagerank gate — the layout changes the physical plan only.
+        locality_min_edges=0 pins the block-pinned gather: the r8
+        production default falls back to the hash gather below
+        exchange-bound scale, but this gate exists to keep the pinned
+        code path value-checked."""
+        import dataclasses
+
         g = _graph(spark, sf_dir)
         g2, mapping = g.with_partitioning(
             "bfs_vertex_cut", num_partitions=_cfg().num_partitions
         )
-        r = pagerank(g2, _cfg(), num_iterations=PR_ITERS)
+        cfg = dataclasses.replace(_cfg(), locality_min_edges=0)
+        r = pagerank(g2, cfg, num_iterations=PR_ITERS)
         return (
             r.state.join(
                 mapping.select(

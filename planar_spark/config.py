@@ -74,6 +74,20 @@ class EngineConfig:
     # --- LPA ---
     lpa_max_iterations: int = 10
 
+    # --- locality layout consumption ---
+    # Minimum edge count at which layout-aware kernels consume a
+    # with_partitioning graph via the block-pinned compound-key gather.
+    # The pinned gather only pays when the gather EXCHANGE is the
+    # bottleneck: measured (BENCH/NOTES.md r7) it moves 2.2x more
+    # edges/s at 100M edges but LOSES wall-clock at 1M edges
+    # (ring_pagerank_locality 3.4s vs ring_pagerank_hash 3.1s — the
+    # compound-key join costs more than the ~8MB exchange it saves).
+    # Below the threshold kernels fall back to the plain hash gather —
+    # results are identical either way (same join semantics, different
+    # physical plan). 0 pins the block path unconditionally (plan tests
+    # and the pagerank_locality gate use this to keep exercising it).
+    locality_min_edges: int = 10_000_000
+
     def partitions_for(self, spark) -> int:
         """Effective partition count: config value or session default."""
         if self.num_partitions > 0:

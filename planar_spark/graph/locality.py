@@ -166,6 +166,22 @@ def with_partitioning(
     return g2, mapping
 
 
+def effective_block_size(graph, config) -> int | None:
+    """The block size a kernel should consume, or None for the plain
+    hash gather: a with_partitioning graph below
+    ``config.locality_min_edges`` edges falls back — the pinned
+    compound-key join loses wall-clock when the gather exchange it
+    removes is not the bottleneck (config.py doc; measured in
+    BENCH/NOTES.md r7). ``locality_min_edges=0`` pins unconditionally."""
+    bs = getattr(graph, "block_size", None)
+    if not bs:
+        return None
+    thr = int(getattr(config, "locality_min_edges", 0) or 0)
+    if thr and graph.num_edges < thr:
+        return None
+    return bs
+
+
 def block_pinned_sym(graph, parts: int) -> DataFrame:
     """The symmetric edge table in the block-pinned layout: (sblk, src,
     dst), hash-partitioned by sblk and sorted by (sblk, src) so a merge

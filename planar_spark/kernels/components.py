@@ -176,7 +176,11 @@ def connected_components(
     # BLOCK and the label join runs on the compound (blk, vid) key —
     # still zero edge-side exchange, but the gather's partial agg now
     # emits ~V + cut rows instead of ~parts*V (graph/locality.py).
-    bs = getattr(graph, "block_size", None)
+    from planar_spark.graph.locality import effective_block_size
+
+    # cost-aware consumption (r8): fall back to the hash gather below
+    # config.locality_min_edges — identical results, see config doc
+    bs = effective_block_size(graph, config)
     if bs:
         from planar_spark.graph.locality import block_pinned_sym
 

@@ -71,7 +71,11 @@ def hits(
     # Layout-aware gathers (r7): on a with_partitioning graph both edge
     # tables pin by locality block — the reversed table's src is still a
     # vid, so the same sblk = src div block_size names its block.
-    bs = getattr(graph, "block_size", None)
+    from planar_spark.graph.locality import effective_block_size
+
+    # cost-aware consumption (r8): fall back to the hash gather below
+    # config.locality_min_edges — identical results, see config doc
+    bs = effective_block_size(graph, config)
     if bs:
         from planar_spark.graph.locality import block_pinned_edges
 

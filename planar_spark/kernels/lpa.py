@@ -46,7 +46,11 @@ def label_propagation(
     # table is pinned by locality block and the label join runs on the
     # compound (sblk, vid) key — same consumption as WCC
     # (kernels/components.py) and pagerank (graph/skew.py block mode).
-    bs = getattr(graph, "block_size", None)
+    from planar_spark.graph.locality import effective_block_size
+
+    # cost-aware consumption (r8): fall back to the hash gather below
+    # config.locality_min_edges — identical results, see config doc
+    bs = effective_block_size(graph, config)
     if bs:
         from planar_spark.graph.locality import block_pinned_sym
 

@@ -75,7 +75,11 @@ def pagerank(
     # partial agg emits ~V + cut rows instead of ~parts*V
     # (graph/locality.py; same consumption pattern as WCC,
     # components.py). Hub salting is a no-op under pinning (skew.py).
-    bs = getattr(graph, "block_size", None)
+    from planar_spark.graph.locality import effective_block_size
+
+    # cost-aware consumption (r8): fall back to the hash gather below
+    # config.locality_min_edges — identical results, see config doc
+    bs = effective_block_size(graph, config)
     pinned = None
     if bs:
         from planar_spark.graph.locality import block_pinned_edges

@@ -53,7 +53,11 @@ def personalized_pagerank(
     # Layout-aware gather (r7): same block-pinned consumption as
     # pagerank (kernels/pagerank.py) — the gather is identical in shape
     parts = config.partitions_for(spark)
-    bs = getattr(graph, "block_size", None)
+    from planar_spark.graph.locality import effective_block_size
+
+    # cost-aware consumption (r8): fall back to the hash gather below
+    # config.locality_min_edges — identical results, see config doc
+    bs = effective_block_size(graph, config)
     pinned = None
     if bs:
         from planar_spark.graph.locality import block_pinned_edges

@@ -20,6 +20,11 @@ def config(tmp_path_factory):
         num_partitions=8,
         checkpoint_dir=None,  # tests use localCheckpoint unless overridden
         hub_degree_threshold=1000,
+        # pin the block-pinned locality gather at fixture scale: the
+        # production default falls back to the hash gather below
+        # locality_min_edges (r8 cost-aware consumption), but the
+        # locality tests exist to exercise the pinned code path
+        locality_min_edges=0,
     )
 
 

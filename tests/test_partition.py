@@ -454,3 +454,51 @@ def test_lpa_on_locality_layout_matches_plain(spark, config):
         return sorted(tuple(sorted(s)) for s in inv.values())
 
     assert classes(got) == classes(plain)
+
+
+def test_locality_consumption_is_cost_aware(spark, config):
+    """r8: block-pinned consumption only pays when the gather exchange
+    is the bottleneck, so kernels consult config.locality_min_edges —
+    below it a with_partitioning graph runs the PLAIN hash gather
+    (identical results, no compound-key join); at 0 the pinned path is
+    forced. Asserted on the superstep plan via the engine explain hook."""
+    import dataclasses
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from planar_spark.graph.locality import effective_block_size
+    from planar_spark.kernels.pagerank import pagerank
+
+    edges = edges_powerlaw(300, m=3, seed=9)
+    g = graph_from_numpy(spark, np.array(edges), 300)
+    g2, mapping = g.with_partitioning("bfs_vertex_cut", num_partitions=8)
+
+    prod = dataclasses.replace(config, locality_min_edges=10_000_000)
+    assert effective_block_size(g2, prod) is None  # tiny graph: fallback
+    assert effective_block_size(g2, config) == g2.block_size  # pinned at 0
+
+    def superstep_plan(cfg):
+        with tempfile.TemporaryDirectory() as d:
+            os.environ["SPARK_GRAFT_EXPLAIN_DIR"] = d
+            try:
+                r = pagerank(g2, cfg, num_iterations=2)
+            finally:
+                os.environ.pop("SPARK_GRAFT_EXPLAIN_DIR", None)
+            steps = sorted(
+                f for f in os.listdir(d) if f.startswith("pagerank_step")
+            )
+            with open(os.path.join(d, steps[-1])) as f:
+                return r, f.read()
+
+    r_fb, plan_fb = superstep_plan(prod)
+    assert "sblk" not in plan_fb, "fallback must use the hash gather"
+    r_pin, plan_pin = superstep_plan(config)
+    assert "sblk" in plan_pin, "locality_min_edges=0 must pin the block path"
+    # identical results either way
+    a = {r["vid"]: r["pr"] for r in r_fb.state.collect()}
+    b = {r["vid"]: r["pr"] for r in r_pin.state.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12

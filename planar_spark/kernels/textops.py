@@ -52,11 +52,17 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, num_hashes: int = 8
+    docs: DataFrame, n: int = 3, num_hashes: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, h0..h{k-1}) — MinHash signature; h_i = MIN over shingles
-    of md5(i || '#' || shingle) (lexicographic string min)."""
-    sh = shingles_df(docs, n)
+    of md5(i || '#' || shingle) (lexicographic string min).
+
+    ``shingles`` lets a caller that already materialized
+    ``shingles_df(docs, n)`` (e.g. near_dup_clusters, which needs the
+    same table again for the Jaccard pass) share one tokenize+distinct
+    pass instead of recomputing it."""
+    sh = shingles if shingles is not None else shingles_df(docs, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -111,6 +117,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 100_000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs (a < b): docs sharing >=1 LSH band.
 
@@ -121,7 +128,7 @@ def lsh_candidate_pairs(
     ever quadratic in a boilerplate-duplicate pile-up.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes)
+    sig = minhash_signatures(docs, n, num_hashes, shingles=shingles)
     band_rows = []
     for bnd in range(bands):
         cols = [F.col(f"h{bnd * r + j}") for j in range(r)]
@@ -146,9 +153,18 @@ def lsh_candidate_pairs(
     )
 
 
-def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
-    """(a, b, jaccard) — exact shingle-set Jaccard for the given pairs."""
-    sh = shingles_df(docs, n).persist()
+def ngram_jaccard(
+    docs: DataFrame, pairs: DataFrame, n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) — exact shingle-set Jaccard for the given pairs.
+
+    ``shingles``: a precomputed ``shingles_df(docs, n)`` (or any
+    restriction of it to at least the docs appearing in ``pairs`` —
+    only pair endpoints ever reach the intersection and size joins, so
+    a pre-filtered table gives identical results while shuffling only
+    endpoint rows; see near_dup_clusters)."""
+    sh = shingles if shingles is not None else shingles_df(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col("doc_id").alias("a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -710,19 +726,39 @@ def near_dup_clusters(
 
     from planar_spark.graph.superstep import releaf
 
+    # ONE tokenize+distinct pass (r8): the shingle table feeds both the
+    # MinHash signatures and the exact-Jaccard pass — previously each
+    # recomputed shingles_df from scratch (regexp tokenize + explode +
+    # distinct over the whole corpus, the single most expensive scan of
+    # the pipeline, paid twice).
+    sh = shingles_df(docs, n).persist()
     # materialize the candidate pairs ONCE: ngram_jaccard references the
     # pairs plan twice (intersection join + final left join), and the
     # LSH subtree (signatures + band join + bucket-cap count join) is
     # too expensive to re-execute per reference
     obs_p = Observation()
     pairs = releaf(
-        lsh_candidate_pairs(docs, n, num_hashes, bands, max_bucket)
+        lsh_candidate_pairs(
+            docs, n, num_hashes, bands, max_bucket, shingles=sh
+        )
         .observe(obs_p, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     if metrics_out is not None:
         metrics_out["candidate_pairs"] = int(obs_p.get["n"] or 0)
-    sims = ngram_jaccard(docs, pairs, n)
+    # Jaccard touches only PAIR ENDPOINTS: pre-filter the (cached)
+    # shingle table with a broadcast semi-join on the endpoint set
+    # (guide-style Bloom/semi-join pre-filter) so the intersection
+    # join shuffles O(endpoint shingles), not O(corpus shingles) —
+    # identical results, the non-endpoint rows could never survive the
+    # inner joins anyway.
+    ep = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh_ep = sh.join(F.broadcast(ep), "doc_id", "left_semi")
+    sims = ngram_jaccard(docs, pairs, n, shingles=sh_ep)
     # materialize the (tiny) pair-graph edge list once so the label loop
     # references a leaf, not the whole LSH/Jaccard tree
     obs_e = Observation()
@@ -732,6 +768,7 @@ def near_dup_clusters(
         .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    sh.unpersist()
     n_dup_edges = int(obs_e.get["n"] or 0)
     if metrics_out is not None:
         metrics_out["dup_edges"] = n_dup_edges

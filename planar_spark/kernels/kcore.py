@@ -224,9 +224,29 @@ def core_decomposition(
         n_alive = state.count()
         assigned = spark.createDataFrame([], schema="vid long, core long")
 
+    # r8 probe diet: each state materialization OBSERVES the size of
+    # the next deg<k frontier and the min alive degree, so a level
+    # fixpoint is detected (and k advanced — jumping over empty levels
+    # straight to min_deg+1) WITHOUT the empty-frontier probe job the
+    # old loop paid once per level. next_lt None = unknown (fresh or
+    # resumed state, or right after an advance): fall through to the
+    # probing cut, which is also the job that cuts the removal leaf.
+    next_lt: int | None = None
+    min_deg: int | None = None
     for _ in range(max_rounds):
         if n_alive == 0:
             break
+        if next_lt == 0:
+            # observed level fixpoint: advance without any job
+            levels.append(k)
+            k += 1
+            if min_deg is not None and min_deg >= k:
+                # every level up to min_deg is empty too — jump, the
+                # min-degree witness guarantees level min_deg+1 is not
+                levels.extend(range(k, min_deg + 1))
+                k = min_deg + 1
+            next_lt = None
+            continue
         obs_f = Observation()
         removed = releaf(
             state.where(F.col("deg") < k)
@@ -264,8 +284,16 @@ def core_decomposition(
             # cut the assignment lineage too: releases the union chain
             # AND the per-round frontier leaves it references
             assigned = releaf(assigned.localCheckpoint(eager=True))
-        new_state = new_state.persist()
+        obs_s = Observation()
+        new_state = new_state.observe(
+            obs_s,
+            F.sum((F.col("deg") < k).cast("long")).alias("lt"),
+            F.min("deg").alias("mn"),
+        ).persist()
         n_alive = new_state.count()
+        got = obs_s.get
+        next_lt = int(got["lt"] or 0)
+        min_deg = None if got["mn"] is None else int(got["mn"])
         state.unpersist()
         state = new_state
         if ckpt.due(rounds):

@@ -107,7 +107,14 @@ def boruvka_msf(
             .agg(F.min("w").alias("w"))
         )
         und = und.join(wn, ["a", "b"], "left")
-    und = und.repartition(parts, "a").persist()
+    # sorted within the cache (r8): the per-round ``und ⋈ labels(a)``
+    # join rides the merge fast path with zero exchange/sort on the
+    # edge side (same discipline as WCC/LPA's sym cache); without it
+    # the planner either broadcasts the O(E) side every round (small
+    # graphs; label leaves report default stats) or re-sorts it (big).
+    und = (
+        und.repartition(parts, "a").sortWithinPartitions("a").persist()
+    )
     if weights is not None:
         # coverage check rides one tiny bounded job (once per run, not
         # per round): an uncovered edge would silently sort as NULL
@@ -143,7 +150,7 @@ def boruvka_msf(
         la = labels.select(F.col("vid").alias("a"), F.col("label").alias("ca"))
         lb = labels.select(F.col("vid").alias("b"), F.col("label").alias("cb"))
         live = (
-            und.join(la, "a").join(lb, "b")
+            und.hint("merge").join(la, "a").join(lb, "b")
             .where(F.col("ca") != F.col("cb"))
         )
         # FindMinEdge per component: min (a, b) struct incident to it
@@ -185,34 +192,39 @@ def boruvka_msf(
             picked.select(F.col("cb").alias("comp"), F.col("ca").alias("adopt"))
         )
         merged = hooks.groupBy("comp").agg(F.min("adopt").alias("new_label"))
-        labels = releaf(
-            labels.join(merged, labels["label"] == merged["comp"], "left")
-            .select(
-                "vid",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("new_label", F.col("label")),
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        # PointJump to a fixpoint — on the COMPONENT mapping, not the
+        # O(V) label table (r8): hook chains live entirely within the
+        # comp→comp mapping (one row per hooked component, geometrically
+        # shrinking across rounds), so pointer DOUBLING over the mapping
+        # reaches the same roots while each jump job rewrites mapping-
+        # sized data; the full label table is rewritten ONCE per round
+        # through the resolved mapping (was 1 + #jumps O(V) rewrites).
+        # Every merged cluster must still end the round under ONE label,
+        # or a stale label could re-pick an intra-cluster edge next
+        # round and close a cycle; each jump's changed-count is observed
+        # on its own (tiny) checkpoint job.
+        # hook-to-min includes the component's own label in the min
+        # (the old code's least(label, new_label) at the label join)
+        mp = releaf(
+            merged.select(
+                "comp",
+                F.least("comp", "new_label").alias("new_label"),
+            ).localCheckpoint(eager=True)
         )
-        # PointJump to a fixpoint: every merged cluster must end the
-        # round under ONE label, or a stale label could re-pick an
-        # intra-cluster edge next round and close a cycle. Pointer
-        # DOUBLING (label <- label[label] against the updated table)
-        # halves chain depth per jump, and the changed-count is observed
-        # on the jump's own checkpoint job — no standalone count action.
         for _j in range(max_jumps):
-            parent = labels.select(
-                F.col("vid").alias("p_vid"), F.col("label").alias("p_label")
+            parent = mp.select(
+                F.col("comp").alias("p_comp"), F.col("new_label").alias("p_label")
             )
             obs_j = Observation()
             jumped = releaf(
-                labels.join(parent, labels["label"] == parent["p_vid"])
+                mp.join(parent, mp["new_label"] == parent["p_comp"], "left")
                 .select(
-                    labels["vid"].alias("vid"),
-                    F.col("p_label").alias("label"),
-                    (labels["label"] != F.col("p_label"))
+                    mp["comp"].alias("comp"),
+                    F.coalesce("p_label", "new_label").alias("new_label"),
+                    (
+                        F.col("p_label").isNotNull()
+                        & (F.col("p_label") != mp["new_label"])
+                    )
                     .cast("long")
                     .alias("_moved"),
                 )
@@ -221,9 +233,17 @@ def boruvka_msf(
                 .localCheckpoint(eager=True)
             )
             total_jumps += 1
-            labels = jumped
+            mp = jumped
             if int(obs_j.get["changed"] or 0) == 0:
                 break
+        labels = releaf(
+            labels.join(mp, labels["label"] == mp["comp"], "left")
+            .select(
+                "vid",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
         if ckpt.due(rounds):
             forest_df = forest_parts[0]
             for part in forest_parts[1:]:

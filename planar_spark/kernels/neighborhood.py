@@ -181,9 +181,20 @@ def node2vec_walk(
     """
     config = config or EngineConfig()
     edges = graph.edges
-    sym = graph.symmetric_edges().select(
-        F.col("src").alias("prev"), F.col("dst").alias("dst"),
-        F.lit(1).alias("_adj"),
+    # cache the adjacency-flag table (r8): the lazy num_steps-deep walk
+    # plan references it once PER STEP, and uncached that re-ran the
+    # O(E) distinct+union (symmetric_edges) num_steps times in the one
+    # job that executes the walk (big graph: 4 x 19M-row exchanges).
+    # The final walks are cut to a leaf so the cache can be released
+    # before returning.
+    sym = (
+        graph.symmetric_edges()
+        .select(
+            F.col("src").alias("prev"), F.col("dst").alias("dst"),
+            F.lit(1).alias("_adj"),
+        )
+        .repartition(config.partitions_for(graph.spark), "prev")
+        .persist()
     )
     walks = graph.vertices.where(F.col("vid") % start_mod == 0).select(
         F.col("vid").alias("start"),
@@ -237,4 +248,10 @@ def node2vec_walk(
                 F.coalesce("m.dst", F.col("m.cur")).alias("cur"),
             )
         )
-    return walks.select("start", "walk_id", "cur")
+    from planar_spark.graph.superstep import releaf
+
+    out = releaf(
+        walks.select("start", "walk_id", "cur").localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    return out

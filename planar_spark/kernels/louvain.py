@@ -229,8 +229,14 @@ def louvain(
         m = cur.agg(F.sum("w")).collect()[0][0] or 0.0
         if m <= 0:
             break
-        sym = releaf(
-            sym.repartition(parts, "src").localCheckpoint(eager=True)
+        # cached SORTED by src (r8): the per-move-round community
+        # gather rides the merge fast path with zero exchange/sort on
+        # the O(E) side (same discipline as WCC's sym cache); released
+        # at level end.
+        sym = (
+            sym.repartition(parts, "src")
+            .sortWithinPartitions("src")
+            .persist()
         )
 
         if comm is None:  # fresh level (not a mid-phase resume)
@@ -255,11 +261,17 @@ def louvain(
             tot = comm.join(deg, "vid").groupBy("c").agg(
                 F.sum("deg").alias("tot")
             )
+            # gather along src (the cache's partition/sort key) and
+            # aggregate by dst — the edge set is symmetric with equal
+            # weights in both directions, so the (vertex, community,
+            # weight) multiset is identical to the old dst-side join,
+            # without re-shuffling the O(E) side every round. Sums are
+            # exact under reordering at gate scale (integer-valued w).
             nbr_c = (
-                sym.join(
-                    comm.select(F.col("vid").alias("dst"), "c"), "dst"
+                sym.hint("merge").join(
+                    comm.select(F.col("vid").alias("src"), "c"), "src"
                 )
-                .groupBy(F.col("src").alias("vid"), "c")
+                .groupBy(F.col("dst").alias("vid"), "c")
                 .agg(F.sum("w").alias("k_vc"))
             )
             own = comm.select("vid", F.col("c").alias("c_own"))
@@ -353,6 +365,7 @@ def louvain(
                         saved["cur"], saved["assign"], saved["comm"]
                     )
         if capped:
+            sym.unpersist()
             break
         move_rounds_per_level.append(rounds)
 
@@ -398,6 +411,7 @@ def louvain(
             q_final = intra / m - sq / (4.0 * m * m)
             n_comm = tot_rows.count()
 
+        sym.unpersist()  # the level's move phase is done with it
         # no movement at all this level -> done (rounds==2 means the
         # first pair was immediately quiescent — both classes of its
         # split saw zero moves)

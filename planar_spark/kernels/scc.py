@@ -141,12 +141,30 @@ def strongly_connected_components(
             all_assigned = True
             break
 
+        # Cache the trimmed active edge set in BOTH join layouts (r8):
+        # the color fixpoint joins it on src every round and the sweep
+        # on dst — as a releaf'd leaf each inner round re-sorted the
+        # O(E) side inside its SortMergeJoin. Cached sorted (hash
+        # partitioning + ordering survive in InMemoryRelation, same
+        # discipline as WCC's sym cache), the merge joins reuse the
+        # cached sort; the two builds amortize over all inner rounds.
+        e_src = (
+            e_act.repartition(parts, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        e_dst = (
+            e_act.repartition(parts, "dst")
+            .sortWithinPartitions("dst")
+            .persist()
+        )
+
         # ---- 2. COLOR: min reaching vid, hash-min fixpoint -------
         color = _ckpt(active.select("vid", F.col("vid").alias("color")))
         color_converged = False
         for _p in range(max_inner):
             msg = (
-                e_act.join(
+                e_src.hint("merge").join(
                     color.select(
                         F.col("vid").alias("src"), F.col("color").alias("c")
                     ),
@@ -197,7 +215,7 @@ def strongly_connected_components(
         sweep_converged = False
         for _s in range(max_inner):
             cand = (
-                e_act.join(
+                e_dst.hint("merge").join(
                     frontier.select(
                         F.col("vid").alias("dst"), F.col("scc").alias("s")
                     ),
@@ -226,6 +244,8 @@ def strongly_connected_components(
                 "rounds; raise max_inner"
             )
 
+        e_src.unpersist()
+        e_dst.unpersist()
         assigned_parts.append(marked.select("vid", F.col("scc").alias("scc_id")))
         active = _ckpt(active.join(marked.select("vid"), "vid", "left_anti"))
         if ckpt.due(outer_rounds):

@@ -78,18 +78,20 @@ def label_propagation(
             sym, labels, config, hubs=None, block_size=bs
         ).select(F.col("dst").alias("vid"), "label")
         counts = msgs.groupBy("vid", "label").agg(F.count(F.lit(1)).alias("n"))
-        # argmax by (count desc, label asc) as a struct-max aggregate:
-        # partial-agg-able (map-side combine), so a hub with millions of
-        # distinct neighbor labels never becomes one sorted window
-        # partition — max(struct(n, -label)) == (max n, tie min label).
-        picked = (
-            counts.groupBy("vid")
-            .agg(
-                F.max(
-                    F.struct(F.col("n"), (-F.col("label")).alias("neg_label"))
-                ).alias("m")
-            )
-            .select("vid", (-F.col("m.neg_label")).alias("new_label"))
+        # argmax by (count desc, label asc) as a max_by aggregate (r8):
+        # still partial-agg-able (ObjectHashAggregate — map-side
+        # combine), so a hub with millions of distinct neighbor labels
+        # never becomes one sorted window partition, and unlike the old
+        # max(struct(...)) form it never falls back to SortAggregate
+        # (which sorted the whole counts table twice per round —
+        # measured 0.85-1.15s vs 0.71s per round on the sf0.1 bench
+        # graph). Deterministic: the ordering struct (n, -label) is
+        # unique per (vid, label) group, so there are no ties.
+        picked = counts.groupBy("vid").agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("n"), (-F.col("label")).alias("nl")),
+            ).alias("new_label")
         )
         new = (
             labels.join(picked, "vid", "left")

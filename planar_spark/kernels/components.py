@@ -13,9 +13,11 @@ DataFrame formulation per superstep:
      every undirected edge; each vertex takes the min of its own label
      and incoming labels — ``symmetric_edges ⋈ labels -> groupBy(vid).min``.
   2. pointer jumping (the PointJump, wcc_app.cpp:60-77):
-     ``label(v) <- label(label(v))`` as a self-join of the label table —
-     sound because labels are always vertex ids; this collapses chains
-     exponentially, so rounds = O(log diameter) instead of O(diameter).
+     ``label'(v) <- old_label(new(v))`` — a join against the PREVIOUS
+     round's materialized label leaf (r8: joining the in-flight plan
+     against itself executed the whole gather twice per superstep);
+     sound because labels are always vertex ids in v's component, and
+     chains still collapse geometrically.
 
 Termination: the label-sum invariant — labels only decrease, so an
 unchanged sum(label) between supersteps is a fixpoint proof (one cheap

@@ -13,9 +13,9 @@ Engine mapping — one HITS iteration = TWO supersteps (auth phase, hub
 phase), so each gather's output is materialized exactly once and never
 recomputed as the input subtree of the next gather:
 
-- auth phase: normalize hub in-plan (1-row aggregate over the CACHED
-  previous state, broadcast cross-join — the dangling-mass trick from
-  pagerank.py), gather over the src-partitioned forward edges
+- auth phase: normalize hub by the column sum observed on the previous
+  state's materialization (inlined literal — the r8 dangling-mass trick
+  from pagerank.py), gather over the src-partitioned forward edges
   (merge-join, hub-salted), groupBy(dst).sum.
 - hub phase: same shape over a reversed edge table built once, hash-
   partitioned and sorted by the reversed src (= original dst) and
@@ -25,8 +25,8 @@ recomputed as the input subtree of the next gather:
 Normalizing only the input column each phase keeps every stored value
 bounded by max-degree (no growth across iterations, no per-step output
 normalization barrier); hub/auth are each defined up to a positive
-scalar, so the final one-shot L1 normalization (folded into the result
-plan as two broadcast 1-row aggregates) yields exactly the per-step-
+scalar, so the final one-shot L1 normalization (the final state's
+observed sums, inlined as literals) yields exactly the per-step-
 normalized fixpoint trajectory.
 
 Scale notes: per superstep the only shuffles are the O(V) state

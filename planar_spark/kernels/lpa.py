@@ -13,10 +13,10 @@ wcc_nvme_app.h:48-75) and Coloring's neighbor-vote loop
 - fixed round count (synchronous LPA can 2-cycle on bipartite
   structures, so "run R rounds" IS the spec, not a convergence proxy).
 
-Per superstep: one gather join + groupBy(vid, label).count + a
-struct-max argmax aggregate — all JVM-side, no windows (a window
-partitioned by vid would sort a hub's entire neighbor-label multiset
-in one task; the struct-max is partial-aggregated map-side).
+Per superstep: one gather join + groupBy(vid, label).count + a max_by
+argmax aggregate — all JVM-side, no windows (a window partitioned by
+vid would sort a hub's entire neighbor-label multiset in one task;
+max_by is partial-aggregated map-side).
 """
 
 from __future__ import annotations
@@ -79,14 +79,14 @@ def label_propagation(
         ).select(F.col("dst").alias("vid"), "label")
         counts = msgs.groupBy("vid", "label").agg(F.count(F.lit(1)).alias("n"))
         # argmax by (count desc, label asc) as a max_by aggregate (r8):
-        # still partial-agg-able (ObjectHashAggregate — map-side
-        # combine), so a hub with millions of distinct neighbor labels
-        # never becomes one sorted window partition, and unlike the old
-        # max(struct(...)) form it never falls back to SortAggregate
-        # (which sorted the whole counts table twice per round —
-        # measured 0.85-1.15s vs 0.71s per round on the sf0.1 bench
-        # graph). Deterministic: the ordering struct (n, -label) is
-        # unique per (vid, label) group, so there are no ties.
+        # still partial-agg-able (map-side combine), so a hub with
+        # millions of distinct neighbor labels never becomes one sorted
+        # window partition. Still plans as a SortAggregate pair (struct
+        # buffer), but with a leaner buffer/projection than the old
+        # max(struct(n, -label)) + negate-back form — measured 0.71s vs
+        # 0.85-1.15s per round on the sf0.1 bench graph (noop-isolated
+        # A/B, identical picks). Deterministic: the ordering struct
+        # (n, -label) is unique per (vid, label) group — no ties.
         picked = counts.groupBy("vid").agg(
             F.max_by(
                 "label",

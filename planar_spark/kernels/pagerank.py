@@ -22,8 +22,9 @@ of the reference's ParallelVertexDoWithEdges + WriteAdd + Sync
 Scale notes:
 - state carries (vid, out_deg, pr) so the per-edge contribution needs no
   extra join against degrees;
-- the dangling mass is a 1-row aggregate cross-joined in (broadcast) —
-  no driver round-trip inside the plan;
+- the dangling mass rides each state materialization as an Observation
+  and folds into the next step's plan as a literal (r8) — no extra job,
+  no per-step aggregate subtree;
 - hub skew on the gather join is handled by salted_gather_join;
 - partial aggregation makes the groupBy(dst) shuffle one row per
   (task, dst) — no agg-side salting needed;

@@ -178,19 +178,26 @@ def core_decomposition(
     levels ≈ O(E) decrements overall, plus one tiny driver scalar per
     round. Deterministic (core numbers are unique).
 
-    Assignments accumulate on ONE running (vid, core) table whose
-    lineage (and the per-round frontier leaves it references) is cut
-    every ``truncate_every`` rounds — never a leaf pinned per round,
-    this is the longest loop in the repo (~2× max_core rounds).
+    r8 tombstone restructure — ONE job per removal round (was two plus
+    one probe job per level): the state is a single (vid, deg, core)
+    leaf where core is NULL while alive; a removal round folds the
+    frontier cut, the core assignment (tombstone), the degree
+    decrement AND next round's driver decisions (frontier size, alive
+    count, min alive degree — Observations) into the one
+    materialization. Level fixpoints are detected from the observed
+    frontier size and advance k (jumping past provably-empty levels to
+    min_deg+1) with zero jobs. There is no separate running-assignment
+    table to truncate — cores live in the state leaf and the per-round
+    plan is constant-size. ``truncate_every`` is retained for API
+    compatibility but is a no-op (leaf-per-round needs no truncation).
 
-    Durable resume: with ``config.checkpoint_dir`` set, the peeling
-    state (vid, deg), the running assignments AND the driver counters
-    (rounds, current level k, n_alive) are written through
+    Durable resume: with ``config.checkpoint_dir`` set, the state leaf
+    and the driver counters (rounds, current level k, levels, n_alive,
+    and the observed frontier size/min degree) are written through
     LoopCheckpointer every ``config.checkpoint_every``-th removal
     round; ``resume=True`` with the same ``run_id`` re-enters the
-    ascending peel at the newest completed round (level advances
-    between saves replay idempotently — an empty-frontier probe is
-    free).
+    ascending peel at the newest completed round. (Checkpoints written
+    by the pre-r8 two-table format are not readable by this code.)
     """
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
@@ -198,41 +205,44 @@ def core_decomposition(
     sym = graph.symmetric_edges().repartition(parts, "src").persist()
     ckpt = LoopCheckpointer(spark, config, "core_decomp", run_id=run_id)
 
-    state = None
-    assigned = None
+    state = None  # (vid, deg, core) — core NULL while alive
     k = 1
     rounds = 0
     levels: list[int] = []
     n_alive = 0
+    # next_lt = size of the CURRENT deg<k frontier among alive rows
+    # (None = unknown: fresh or resumed state — the first round self-
+    # corrects, see below); min_deg = min alive degree, for level jumps.
+    next_lt: int | None = None
+    min_deg: int | None = None
     if resume:
         latest = ckpt.latest()
         if latest is not None:
             _rnd, tables, m = latest
-            state = tables["state"].repartition(parts, "vid").persist()
-            state.count()
-            assigned = releaf(
-                tables["assigned"].localCheckpoint(eager=True)
+            state = releaf(
+                tables["state"].repartition(parts, "vid")
+                .localCheckpoint(eager=True)
             )
             k = int(m.get("k", 1))
             rounds = int(m.get("rounds", _rnd))
             levels = list(m.get("levels", []))
             n_alive = int(m.get("n_alive", 0))
+            if m.get("next_lt") is not None:
+                next_lt = int(m["next_lt"])
+            if m.get("min_deg") is not None:
+                min_deg = int(m["min_deg"])
     if state is None:
-        state = sym.groupBy(F.col("src").alias("vid")).agg(
-            F.count(F.lit(1)).alias("deg")
-        ).persist()
-        n_alive = state.count()
-        assigned = spark.createDataFrame([], schema="vid long, core long")
+        obs0 = Observation()
+        state = releaf(
+            sym.groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select("vid", "deg", F.lit(None).cast("long").alias("core"))
+            .observe(obs0, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_alive = int(obs0.get["n"] or 0)
 
-    # r8 probe diet: each state materialization OBSERVES the size of
-    # the next deg<k frontier and the min alive degree, so a level
-    # fixpoint is detected (and k advanced — jumping over empty levels
-    # straight to min_deg+1) WITHOUT the empty-frontier probe job the
-    # old loop paid once per level. next_lt None = unknown (fresh or
-    # resumed state, or right after an advance): fall through to the
-    # probing cut, which is also the job that cuts the removal leaf.
-    next_lt: int | None = None
-    min_deg: int | None = None
+    alive = F.col("core").isNull()
     for _ in range(max_rounds):
         if n_alive == 0:
             break
@@ -241,87 +251,89 @@ def core_decomposition(
             levels.append(k)
             k += 1
             if min_deg is not None and min_deg >= k:
-                # every level up to min_deg is empty too — jump, the
+                # every level up to min_deg is empty too — jump; the
                 # min-degree witness guarantees level min_deg+1 is not
                 levels.extend(range(k, min_deg + 1))
                 k = min_deg + 1
             next_lt = None
             continue
-        obs_f = Observation()
-        removed = releaf(
-            state.where(F.col("deg") < k)
-            .select("vid")
-            .observe(obs_f, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+        # removal round: frontier cut, tombstone, decrement and next
+        # round's decisions all ride ONE materialization. The frontier
+        # size for the broadcast decision is exact when observed
+        # (next_lt); on an unknown (fresh/resumed) state n_alive is the
+        # safe upper bound.
+        est = next_lt if next_lt is not None else n_alive
+        rm_src = state.where(alive & (F.col("deg") < k)).select(
+            F.col("vid").alias("src")
         )
-        n_removed = int(obs_f.get["n"])
-        if n_removed == 0:
-            levels.append(k)
-            k += 1  # level fixpoint: everything left is in the k-core
-            continue
-        rounds += 1
-        assigned = assigned.unionAll(
-            removed.select("vid", F.lit(k - 1).cast("long").alias("core"))
-        )
-        rm_src = removed.select(F.col("vid").alias("src"))
         loss = (
-            sym.join(maybe_broadcast(rm_src, config, n_removed), "src")
+            sym.join(maybe_broadcast(rm_src, config, est), "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.count(F.lit(1)).alias("lost"))
         )
-        new_state = (
-            state.where(F.col("deg") >= k)
-            .join(loss, "vid", "left")
+        new_core = (
+            F.when(~alive, F.col("core"))
+            .when(F.col("deg") < k, F.lit(k - 1).cast("long"))
+        )  # otherwise NULL: still alive
+        new_deg = F.when(
+            alive & (F.col("deg") >= k),
+            F.col("deg") - F.coalesce("lost", F.lit(0)),
+        ).otherwise(F.col("deg"))
+        obs = Observation()
+        new_state = releaf(
+            state.join(loss, "vid", "left")
             .select(
-                "vid",
-                (F.col("deg") - F.coalesce("lost", F.lit(0))).alias("deg"),
+                "vid", new_deg.alias("deg"), new_core.alias("core")
             )
+            .observe(
+                obs,
+                F.sum(
+                    (alive & (F.col("deg") < F.lit(k))).cast("long")
+                ).alias("lt"),
+                F.min(F.when(alive, F.col("deg"))).alias("mn"),
+                F.sum(alive.cast("long")).alias("n_alive"),
+            )
+            .localCheckpoint(eager=True)
         )
-        if rounds % max(1, truncate_every) == 0:
-            new_state = releaf(
-                new_state.localCheckpoint(eager=True)
-            ).repartition(parts, "vid")
-            # cut the assignment lineage too: releases the union chain
-            # AND the per-round frontier leaves it references
-            assigned = releaf(assigned.localCheckpoint(eager=True))
-        obs_s = Observation()
-        new_state = new_state.observe(
-            obs_s,
-            F.sum((F.col("deg") < k).cast("long")).alias("lt"),
-            F.min("deg").alias("mn"),
-        ).persist()
-        n_alive = new_state.count()
-        got = obs_s.get
+        got = obs.get
+        prev_alive = n_alive
+        n_alive = int(got["n_alive"] or 0)
+        n_rm = prev_alive - n_alive  # exact: tombstoning is the only exit
         next_lt = int(got["lt"] or 0)
         min_deg = None if got["mn"] is None else int(got["mn"])
-        state.unpersist()
         state = new_state
+        if n_rm == 0:
+            # only reachable from an UNKNOWN frontier (fresh state at
+            # k=1, or a resume without counters): the state is
+            # unchanged and the observations now say exactly where the
+            # frontier stands — the next iteration advances for free.
+            continue
+        rounds += 1
         if ckpt.due(rounds):
             saved = ckpt.save(
                 rounds,
-                {"state": state, "assigned": assigned},
+                {"state": state},
                 {
                     "rounds": rounds,
                     "k": k,
                     "levels": levels,
                     "n_alive": n_alive,
+                    "next_lt": next_lt,
+                    "min_deg": min_deg,
                 },
             )
-            # root the running assignments at the durable copy — the
-            # strongest lineage cut; state keeps its persisted copy
-            assigned = saved["assigned"]
+            state = saved["state"]
     else:
         raise RuntimeError(
             f"core_decomposition: not finished in {max_rounds} rounds; "
             "raise max_rounds"
         )
     sym.unpersist()
-    state.unpersist()
     if metrics_out is not None:
         metrics_out["rounds"] = rounds
         metrics_out["max_core"] = k - 1
         metrics_out["levels"] = levels
-    assigned = releaf(assigned.localCheckpoint(eager=True))
+    assigned = state.where(F.col("core").isNotNull()).select("vid", "core")
     # vertices with no undirected edges never entered the state: core 0
     return (
         graph.vertices.select("vid")

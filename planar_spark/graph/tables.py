@@ -85,6 +85,26 @@ class GraphTables:
             u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
 
+    def symmetric_edges_by_src(self, num_partitions: int) -> DataFrame:
+        """Both directions of the distinct undirected edge set, hash-
+        partitioned by src, src-sorted within partitions — the layout
+        every gather cache wants. The union is repartitioned by src
+        FIRST, so the (src, dst) dedup runs partition-locally
+        (hash(src) satisfies the subset-key clustering) — ONE exchange
+        total where ``symmetric_edges().repartition(...)`` pays two
+        (the distinct's plus the repartition's). Set-identical
+        (noop-isolated A/B at sf0.1: 0.49 -> 0.27s; r8). Caller
+        persists."""
+        e = self.edges
+        u = e.select("src", "dst").unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return (
+            u.repartition(num_partitions, "src")
+            .dropDuplicates(["src", "dst"])
+            .sortWithinPartitions("src")
+        )
+
     # ---- persistence (catalog-aware: Iceberg writeTo when a catalog is
     # configured, parquet warehouse fallback — planar_spark/storage.py) ----
     def write(self, path: str, mode: str = "overwrite") -> None:

@@ -196,10 +196,7 @@ def connected_components(
         # because the releaf'd label leaf reports default stats) touches
         # the edge side. Same discipline as GraphTables.from_edges.
         edge_state = {
-            "sym": graph.symmetric_edges()
-            .repartition(parts, "src")
-            .sortWithinPartitions("src")
-            .persist()
+            "sym": graph.symmetric_edges_by_src(parts).persist()
         }
 
     def init_state() -> DataFrame:

@@ -296,8 +296,8 @@ def hyperball(
 
     rev = (
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        .distinct()
         .repartition(parts, "src")
+        .dropDuplicates(["src", "dst"])
         .sortWithinPartitions("src")
         .persist()
     )
@@ -398,8 +398,8 @@ def hyperball_nf_profile(
 
     rev = (
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        .distinct()
         .repartition(parts, "src")
+        .dropDuplicates(["src", "dst"])
         .sortWithinPartitions("src")
         .persist()
     )
@@ -579,8 +579,8 @@ def hyperball_centralities(
 
     rev = (
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        .distinct()
         .repartition(parts, "src")
+        .dropDuplicates(["src", "dst"])
         .sortWithinPartitions("src")
         .persist()
     )

@@ -55,7 +55,7 @@ def k_core(
     """
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
-    sym = graph.symmetric_edges().repartition(parts, "src").persist()
+    sym = graph.symmetric_edges_by_src(parts).persist()
 
     rounds = 0
     frontier_sizes: list[int] = []
@@ -202,7 +202,7 @@ def core_decomposition(
     config = config or EngineConfig()
     parts = config.partitions_for(graph.spark)
     spark = graph.spark
-    sym = graph.symmetric_edges().repartition(parts, "src").persist()
+    sym = graph.symmetric_edges_by_src(parts).persist()
     ckpt = LoopCheckpointer(spark, config, "core_decomp", run_id=run_id)
 
     state = None  # (vid, deg, core) — core NULL while alive

@@ -61,12 +61,7 @@ def label_propagation(
         # without the hint AQE broadcast the whole O(E) sym table as
         # the build side every round (the label leaf reports default
         # stats after releaf).
-        sym = (
-            graph.symmetric_edges()
-            .repartition(parts, "src")
-            .sortWithinPartitions("src")
-            .persist()
-        )
+        sym = graph.symmetric_edges_by_src(parts).persist()
 
     def init_state() -> DataFrame:
         return graph.vertices.select("vid", F.col("vid").alias("label"))
